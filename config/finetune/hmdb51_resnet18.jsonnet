@@ -1,0 +1,21 @@
+local datasets = import '../lib/datasets.libsonnet';
+local models = import '../lib/models.libsonnet';
+local default = import './default.libsonnet';
+
+default {
+  dataset: datasets.hmdb51,
+  model: models.resnet18,
+  model_type: 'multitask',
+  temporal_transforms+: {
+    size: 16,
+    validate: { stride: 1, n_crop: 1, final_n_crop: 3 },
+  },
+  batch_size: 64,
+  validate: { batch_size: 64 },
+  final_validate: { batch_size: 64 },
+  optimizer+: {
+    lr: 0.01,
+    milestones: [50, 70, 90],
+    schedule: 'multi_step',
+  },
+}

@@ -1,0 +1,27 @@
+local datasets = import '../lib/datasets.libsonnet';
+local models = import '../lib/models.libsonnet';
+local default = import './default.libsonnet';
+
+default {
+  dataset: datasets.smth_smth,
+  model: models.s3dg,
+  model_type: 'multitask',
+  temporal_transforms+: {
+    size: 16,
+    type: 'cover',
+    validate+: { final_n_crop: 2 },
+  },
+  spatial_transforms+: {
+    size: 224,
+    h_flip: 0,
+  },
+  batch_size: 16,
+  validate: { batch_size: 32 },
+  final_validate: { batch_size: 16 },
+  optimizer+: {
+    lr: 0.01,
+    milestones: [20, 40],
+    schedule: 'multi_step',
+  },
+  num_epochs: 50,
+}
