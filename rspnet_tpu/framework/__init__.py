@@ -1,0 +1,21 @@
+"""Experiment framework: args, config, logging, checkpoints, meters, metrics.
+
+TPU-native rebuild of the reference's L6 layer (SURVEY.md §2.2).
+"""
+from .arguments import Args, BaseArgs, get_timestamp
+from .checkpoint import CheckpointManager, load_state, save_state
+from .environment import scale_learning_rate, ulimit_n_max
+from .logging import TqdmHandler, set_logging_basic_config
+from .meters import AverageMeter, MeterGroup
+from .metrics import accuracy, binary_accuracy, masked_accuracy
+from .reproduction import initialize_seed
+
+__all__ = [
+    "Args", "BaseArgs", "get_timestamp",
+    "CheckpointManager", "load_state", "save_state",
+    "scale_learning_rate", "ulimit_n_max",
+    "TqdmHandler", "set_logging_basic_config",
+    "AverageMeter", "MeterGroup",
+    "accuracy", "binary_accuracy", "masked_accuracy",
+    "initialize_seed",
+]

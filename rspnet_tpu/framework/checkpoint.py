@@ -1,0 +1,114 @@
+"""Checkpoint management with atomic writes and reference-format interop.
+
+Behavior contract (reference: framework/utils/checkpoint.py:13-75):
+- latest checkpoint saved atomically (write temp, rename)
+- ``model_best.pth.tar`` hard-linked to the latest on improvement
+- periodic ``checkpoint_epoch_N.pth.tar`` hard-links every ``keep_interval``
+
+State dicts hold JAX pytrees; serialization is ``.pth.tar`` via torch-cpu so
+reference checkpoints can be read and ours can be loaded by the reference
+(SURVEY.md §5.4 requires the .pth.tar boundary). Arrays cross the boundary as
+numpy; pytree params use ``/``-joined flat names.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _to_numpy_tree(obj: Any) -> Any:
+    """Convert JAX arrays (and scalars) to numpy recursively."""
+    import jax
+
+    def conv(x):
+        if hasattr(x, "__array__") and not isinstance(x, np.ndarray):
+            return np.asarray(jax.device_get(x))
+        return x
+
+    return jax.tree_util.tree_map(conv, obj)
+
+
+def _to_torch_tree(obj: Any) -> Any:
+    import torch
+
+    if isinstance(obj, dict):
+        return {k: _to_torch_tree(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_to_torch_tree(v) for v in obj)
+    if isinstance(obj, np.ndarray):
+        return torch.from_numpy(np.ascontiguousarray(obj).copy())
+    return obj
+
+
+def _from_torch_tree(obj: Any) -> Any:
+    import torch
+
+    if isinstance(obj, dict):
+        return {k: _from_torch_tree(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_from_torch_tree(v) for v in obj)
+    if isinstance(obj, torch.Tensor):
+        return obj.detach().cpu().numpy()
+    return obj
+
+
+def save_state(state: Dict[str, Any], path: Path) -> None:
+    """Serialize a state dict to ``.pth.tar`` (torch zip format)."""
+    import torch
+    torch.save(_to_torch_tree(_to_numpy_tree(state)), str(path))
+
+
+def load_state(path: Path) -> Dict[str, Any]:
+    """Load a ``.pth.tar`` state dict; tensors come back as numpy arrays.
+
+    Accepts both our checkpoints and reference-produced ones.
+    """
+    import torch
+    state = torch.load(str(path), map_location="cpu", weights_only=False)
+    return _from_torch_tree(state)
+
+
+class CheckpointManager:
+    """Keeps the latest / best / periodic checkpoints for one experiment."""
+
+    def __init__(self, experiment_dir: Path, keep_interval=None,
+                 filename: str = "checkpoint.pth.tar", milestone: int = 0):
+        self.experiment_dir = Path(experiment_dir)
+        self.filename = filename
+        self.keep_interval = keep_interval
+        self.milestone = milestone
+
+    def save(self, state: Dict[str, Any], is_best: bool, epoch: int) -> None:
+        checkpoint_path = self.experiment_dir / self.filename
+        temp_path = self.experiment_dir / f".next.{self.filename}"
+
+        logger.info('Saving checkpoint to "%s"', checkpoint_path)
+        try:
+            save_state(state, temp_path)
+        except BaseException:
+            if temp_path.exists():
+                temp_path.unlink()
+            raise
+        temp_path.rename(checkpoint_path)
+        logger.info("Checkpoint saved")
+
+        if is_best:
+            best_path = self.experiment_dir / "model_best.pth.tar"
+            logger.info('Saving best model to "%s"', best_path)
+            if best_path.exists():
+                best_path.unlink()
+            os.link(checkpoint_path, best_path)
+
+        if (self.keep_interval is not None and epoch % self.keep_interval == 0
+                and epoch > self.milestone):
+            keep_path = self.experiment_dir / f"checkpoint_epoch_{epoch}.pth.tar"
+            logger.info('Keep checkpoint "%s"', keep_path)
+            if keep_path.exists():
+                keep_path.unlink()
+            os.link(checkpoint_path, keep_path)

@@ -1,0 +1,35 @@
+"""Logging setup: stderr (tqdm-safe) + per-run experiment.log
+(reference: framework/logging.py:7-41)."""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional
+
+
+class TqdmHandler(logging.StreamHandler):
+    """Routes log records through tqdm.write so progress bars stay intact."""
+
+    def emit(self, record):
+        try:
+            from tqdm import tqdm
+            msg = self.format(record)
+            tqdm.write(msg)
+            self.flush()
+        except Exception:
+            super().emit(record)
+
+
+def set_logging_basic_config(
+    run_dir: Optional[Path] = None,
+    debug: bool = False,
+    filename: str = "experiment.log",
+) -> None:
+    fmt = "%(asctime)s|%(levelname)-8s|%(message)s"
+    level = logging.DEBUG if debug else logging.INFO
+
+    handlers = [TqdmHandler()]
+    if run_dir is not None:
+        handlers.append(logging.FileHandler(Path(run_dir) / filename))
+
+    logging.basicConfig(level=level, format=fmt, handlers=handlers, force=True)

@@ -1,0 +1,191 @@
+"""Tests for the experiment framework layer (args, checkpoints, meters,
+metrics, environment)."""
+import os
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rspnet_tpu.framework import (
+    AverageMeter, Args, BaseArgs, CheckpointManager, MeterGroup, accuracy,
+    binary_accuracy, load_state, masked_accuracy, save_state,
+    scale_learning_rate,
+)
+
+
+# -- arguments ---------------------------------------------------------------
+
+def test_base_args_parse(tmp_path):
+    args = Args.from_args([
+        "-c", "cfg.jsonnet", "-x", "{a: 1}", "{b: 2}", "-d",
+        "-e", str(tmp_path / "exp"),
+    ])
+    assert args.config == "cfg.jsonnet"
+    assert args.ext_config == ["{a: 1}", "{b: 2}"]
+    assert args.debug is True
+    assert args.experiment_dir == tmp_path / "exp"
+
+
+def test_workload_args_parse(tmp_path):
+    args = Args.from_args([
+        "--mc", "ckpt.pth.tar", "--seed", "7", "--ws", "4", "--continue",
+        "--no-scale-lr", "--validate",
+    ])
+    assert args.moco_checkpoint == "ckpt.pth.tar"
+    assert args.seed == 7
+    assert args.world_size == 4
+    assert args._continue is True
+    assert args.no_scale_lr is True
+    assert args.validate is True
+
+
+def test_run_dir_numbering(tmp_path):
+    exp = tmp_path / "exp"
+    a1 = Args.from_args(["-e", str(exp)])
+    a1.make_run_dir()
+    assert a1.run_dir.name.startswith("run_0_")
+    a2 = Args.from_args(["-e", str(exp)])
+    a2.make_run_dir()
+    assert a2.run_dir.name.startswith("run_1_")
+
+
+def test_run_sh_replay(tmp_path):
+    exp = tmp_path / "exp"
+    a = Args.from_args(["-e", str(exp)])
+    a.make_run_dir()
+    a.save()
+    content = (a.run_dir / "run.sh").read_text()
+    assert content.startswith("cd ")
+    assert "python" in content
+
+
+def test_resolve_continue(tmp_path):
+    exp = tmp_path / "exp"
+    run0 = exp / "run_0_20260101_000000"
+    run0.mkdir(parents=True)
+    (run0 / "config.json").write_text("{}")
+    save_state({"epoch": 3}, exp / "checkpoint.pth.tar")
+
+    a = Args.from_args(["-e", str(exp), "--continue"])
+    a.resolve_continue()
+    assert a.config == str(run0 / "config.json")
+    assert a.load_checkpoint == exp / "checkpoint.pth.tar"
+
+
+# -- checkpoint ---------------------------------------------------------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "epoch": 5,
+        "arch": "resnet18",
+        "model": {"layer1/kernel": jnp.ones((3, 3)), "bias": jnp.zeros((4,))},
+        "best_acc1": 77.5,
+    }
+    save_state(state, tmp_path / "ckpt.pth.tar")
+    loaded = load_state(tmp_path / "ckpt.pth.tar")
+    assert loaded["epoch"] == 5
+    assert loaded["arch"] == "resnet18"
+    np.testing.assert_allclose(loaded["model"]["layer1/kernel"], np.ones((3, 3)))
+
+
+def test_checkpoint_pth_tar_is_torch_compatible(tmp_path):
+    """Reference interop: a torch user must be able to read our checkpoint."""
+    import torch
+    save_state({"model": {"w": jnp.arange(6.0).reshape(2, 3)}},
+               tmp_path / "c.pth.tar")
+    obj = torch.load(str(tmp_path / "c.pth.tar"), weights_only=False)
+    assert isinstance(obj["model"]["w"], torch.Tensor)
+    assert obj["model"]["w"].shape == (2, 3)
+
+
+def test_checkpoint_manager(tmp_path):
+    mgr = CheckpointManager(tmp_path, keep_interval=2)
+    for epoch in range(1, 5):
+        mgr.save({"epoch": epoch}, is_best=(epoch == 3), epoch=epoch)
+    assert load_state(tmp_path / "checkpoint.pth.tar")["epoch"] == 4
+    assert load_state(tmp_path / "model_best.pth.tar")["epoch"] == 3
+    assert (tmp_path / "checkpoint_epoch_2.pth.tar").exists()
+    assert (tmp_path / "checkpoint_epoch_4.pth.tar").exists()
+    assert not (tmp_path / "checkpoint_epoch_3.pth.tar").exists()
+    assert not (tmp_path / ".next.checkpoint.pth.tar").exists()
+
+
+def test_checkpoint_reads_reference_style_state(tmp_path):
+    """A reference-produced dict (torch tensors, nested) loads as numpy."""
+    import torch
+    torch.save({"state_dict": {"encoder_q.conv.weight": torch.randn(4, 3)},
+                "epoch": 7}, str(tmp_path / "ref.pth.tar"))
+    loaded = load_state(tmp_path / "ref.pth.tar")
+    assert isinstance(loaded["state_dict"]["encoder_q.conv.weight"], np.ndarray)
+
+
+# -- meters / metrics ---------------------------------------------------------
+
+def test_average_meter():
+    m = AverageMeter("loss", ":.2f")
+    m.update(2.0, n=2)
+    m.update(4.0, n=2)
+    assert m.avg == pytest.approx(3.0)
+    assert "loss" in str(m)
+    m.sync_distributed()  # single-process no-op
+    assert m.avg == pytest.approx(3.0)
+
+
+def test_meter_group():
+    g = MeterGroup(["loss", "acc1"])
+    g.update({"loss": 1.0, "acc1": 50.0}, n=4)
+    assert g["loss"].count == 4
+    g.reset()
+    assert g["loss"].count == 0
+
+
+def test_accuracy_topk():
+    logits = jnp.array([
+        [0.1, 0.9, 0.0, 0.0],   # pred 1, target 1 -> top1 hit
+        [0.8, 0.1, 0.05, 0.05], # pred 0, target 2 -> top1 miss, top3 ...
+        [0.3, 0.2, 0.4, 0.1],   # pred 2, target 2 -> top1 hit
+        [0.25, 0.3, 0.2, 0.25], # pred 1, target 0 -> top1 miss, top2 hit
+    ])
+    target = jnp.array([1, 2, 2, 0])
+    acc1, acc5 = accuracy(logits, target, topk=(1, 3))
+    assert float(acc1) == pytest.approx(50.0)
+    assert float(acc5) == pytest.approx(100.0)
+
+
+def test_accuracy_matches_torch_reference():
+    """Golden check against the exact torch formula the reference uses."""
+    import torch
+    rng = np.random.RandomState(0)
+    logits = rng.randn(32, 10).astype(np.float32)
+    target = rng.randint(0, 10, size=32)
+
+    t_out = torch.from_numpy(logits)
+    t_tgt = torch.from_numpy(target)
+    _, pred = t_out.topk(5, 1, True, True)
+    correct = pred.t().eq(t_tgt[None])
+    t_acc1 = float(correct[:1].flatten().sum()) * 100.0 / 32
+    t_acc5 = float(correct[:5].flatten().sum()) * 100.0 / 32
+
+    acc1, acc5 = accuracy(jnp.asarray(logits), jnp.asarray(target), topk=(1, 5))
+    assert float(acc1) == pytest.approx(t_acc1)
+    assert float(acc5) == pytest.approx(t_acc5)
+
+
+def test_masked_accuracy():
+    logits = jnp.eye(4)
+    target = jnp.array([0, 1, 0, 0])
+    mask = jnp.array([True, True, False, False])
+    (acc1,) = masked_accuracy(logits, target, mask, topk=(1,))
+    assert float(acc1) == pytest.approx(100.0)
+
+
+def test_binary_accuracy():
+    out = jnp.array([0.9, 0.2, 0.7, 0.1])
+    tgt = jnp.array([1.0, 0.0, 0.0, 0.0])
+    assert float(binary_accuracy(out, tgt)) == pytest.approx(75.0)
+
+
+def test_scale_learning_rate():
+    assert scale_learning_rate(0.1, world_size=8, batch_size=64) == pytest.approx(0.8)
+    assert scale_learning_rate(0.1, world_size=1, batch_size=64) == pytest.approx(0.1)
