@@ -1,0 +1,139 @@
+"""Color math for video augmentation, in JAX.
+
+Formulas follow the reference's jit-scripted torch ops exactly so augmented
+pixels match bit-for-bit up to float assoc (reference: datasets/
+transforms_video/functional_tensor.py: rgb_to_grayscale:88, _blend:103,
+adjust_*:109-162, rgb_to_hsv/hsv_to_rgb:253-345, adjust_hue:375, gaussian
+kernels:420-498).
+
+Layout: clips are channel-last ``[..., H, W, 3]`` float32 in [0, 1] — the
+TPU-native layout (lane dim = channels broadcast cheaply; torch used [C,T,H,W]).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# ITU-R 601-2 luma weights (reference: functional_tensor.py:98)
+_LUMA = (0.2989, 0.5870, 0.1140)
+
+
+def rgb_to_grayscale(img: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] -> [..., 3] with r == g == b (luma)."""
+    grey = (_LUMA[0] * img[..., 0] + _LUMA[1] * img[..., 1]
+            + _LUMA[2] * img[..., 2])
+    return jnp.broadcast_to(grey[..., None], img.shape).astype(img.dtype)
+
+
+def _blend(img1: jnp.ndarray, img2: jnp.ndarray, ratio) -> jnp.ndarray:
+    return jnp.clip(ratio * img1 + (1.0 - ratio) * img2, 0.0, 1.0)
+
+
+def adjust_brightness(img: jnp.ndarray, factor) -> jnp.ndarray:
+    return _blend(img, jnp.zeros_like(img), factor)
+
+
+def adjust_contrast(img: jnp.ndarray, factor) -> jnp.ndarray:
+    # Mean over the whole clip's grayscale (reference: functional_tensor.py:143)
+    mean = jnp.mean(rgb_to_grayscale(img))
+    return _blend(img, mean, factor)
+
+
+def adjust_saturation(img: jnp.ndarray, factor) -> jnp.ndarray:
+    return _blend(img, rgb_to_grayscale(img), factor)
+
+
+def rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] RGB in [0,1] -> [..., 3] HSV (h in [0,1))."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.max(img, axis=-1)
+    minc = jnp.min(img, axis=-1)
+    v = maxc
+    deltac = maxc - minc
+    safe_delta = jnp.where(deltac == 0, 1.0, deltac)
+    s = jnp.where(v == 0, 0.0, deltac / jnp.where(v == 0, 1.0, v))
+
+    # hue selection by argmax channel (matches the reference gather)
+    h_r = (g - b) / safe_delta
+    h_g = (b - r) / safe_delta + 2.0
+    h_b = (r - g) / safe_delta + 4.0
+    idx = jnp.argmax(img, axis=-1)
+    h = jnp.where(idx == 0, h_r, jnp.where(idx == 1, h_g, h_b))
+    h = jnp.where(deltac == 0, 0.0, h)
+    h = (h / 6.0) % 1.0
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] HSV -> [..., 3] RGB (same vtpq table as the reference)."""
+    h, s, v = img[..., 0], img[..., 1], img[..., 2]
+    hi = jnp.floor(h * 6.0)
+    f = h * 6.0 - hi
+    p = v * (1.0 - s)
+    t = v * (1.0 - (1.0 - f) * s)
+    q = v * (1.0 - f * s)
+    hi = hi.astype(jnp.int32) % 6
+
+    # channel_map rows (reference: functional_tensor.py:295-299), vtpq order
+    # [v, t, p, q]
+    vtpq = jnp.stack([v, t, p, q], axis=-1)                  # [..., 4]
+    cmap = jnp.array([[0, 3, 2, 2, 1, 0],
+                      [1, 0, 0, 3, 2, 2],
+                      [2, 2, 1, 0, 0, 3]], dtype=jnp.int32)  # [3, 6]
+    sel = cmap[:, hi]                                        # [3, ...]
+    sel = jnp.moveaxis(sel, 0, -1)                           # [..., 3]
+    return jnp.take_along_axis(vtpq, sel, axis=-1)
+
+
+def adjust_hue(img: jnp.ndarray, factor) -> jnp.ndarray:
+    hsv = rgb_to_hsv(img)
+    h = (hsv[..., 0] + factor) % 1.0
+    return hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
+
+
+def gaussian_kernel1d(kernel_size: int, sigma: float) -> jnp.ndarray:
+    x = jnp.arange(kernel_size, dtype=jnp.float32)
+    g = jnp.exp(-((x - kernel_size // 2) ** 2) / (2.0 * sigma ** 2))
+    return g / jnp.sum(g)
+
+
+def gaussian_kernel2d(kernel_size: Tuple[int, int],
+                      sigma: Tuple[float, float]) -> jnp.ndarray:
+    kx = gaussian_kernel1d(kernel_size[0], sigma[0])
+    ky = gaussian_kernel1d(kernel_size[1], sigma[1])
+    return kx[:, None] * ky[None, :]
+
+
+@partial(jax.jit, static_argnames=("kernel_size", "sigma"))
+def gaussian_blur(clip: jnp.ndarray, kernel_size: Tuple[int, int] = (3, 3),
+                  sigma: Tuple[float, float] = (1.5, 1.5)) -> jnp.ndarray:
+    """Depthwise gaussian blur over [T, H, W, C] (T rides the batch dim)."""
+    t, h, w, c = clip.shape
+    kernel = gaussian_kernel2d(kernel_size, sigma)
+    kernel = jnp.broadcast_to(kernel[:, :, None, None],
+                              (*kernel.shape, 1, c))  # HWIO, depthwise
+    pad = ((kernel_size[0] - 1) // 2, (kernel_size[0] - 1) // 2)
+    pad_w = ((kernel_size[1] - 1) // 2, (kernel_size[1] - 1) // 2)
+    return jax.lax.conv_general_dilated(
+        clip, kernel,
+        window_strides=(1, 1),
+        padding=(pad, pad_w),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def normalize(clip: jnp.ndarray, mean, std) -> jnp.ndarray:
+    """Channel-last normalize (reference uses torchvision NormalizeVideo)."""
+    mean = jnp.asarray(mean, dtype=clip.dtype)
+    std = jnp.asarray(std, dtype=clip.dtype)
+    return (clip - mean) / std
+
+
+def hflip(clip: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal flip of [..., H, W, C]."""
+    return clip[..., :, ::-1, :]
