@@ -1,0 +1,236 @@
+"""Host-side video input pipeline: decode workers + prefetch.
+
+Replaces the reference's torch DataLoader + MainProcessCollateWrapper
+(reference: datasets/classification/__init__.py:22-149). Differences, by
+design for TPU:
+
+- Workers are threads (decode backends release the GIL in C); a bounded
+  in-flight window gives prefetch overlap with the device step.
+- Geometry (temporal selection, spatial crop, resize to the static network
+  size) happens in the worker on uint8 — cheap, and it makes every batch a
+  dense [B, T, S, S, 3] uint8 block. All float pixel math (color jitter,
+  flip, normalize) runs on-device via ops.augment in ONE fused program.
+- Validation pads the tail batch and returns a mask instead of shipping a
+  ragged batch (XLA needs static shapes; replaces num_valid_samples
+  tail-cutting, reference :16-19,44-50).
+"""
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.augment import _center_max_box, _sample_crop_box
+from . import transforms_temporal as T
+from .video_reader import open_video
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class PipelineConfig:
+    # temporal
+    clip_len: int                       # frames per clip fed to the model
+    frame_rate: Optional[float] = None  # fps retarget (None = native)
+    strides: Sequence[dict] = field(
+        default_factory=lambda: [{"stride": 1, "weight": 1}])
+    temporal_type: str = "clip"         # 'clip' | 'cover'
+    n_crop: int = 1                     # eval multi-crop count
+    eval_stride: int = 1
+    force_n_crop: bool = False          # retrieval: EvenNCrop in train split
+    # spatial
+    out_size: int = 112
+    crop_area: Tuple[float, float] = (0.25, 1.0)
+    # pipeline
+    num_clips: int = 1                  # clips per sample (2 for MoCo)
+    batch_size: int = 16
+    train: bool = True
+    num_workers: int = 4
+    seed: int = 0
+    drop_last: Optional[bool] = None    # default: train
+
+
+class Batch(Tuple):
+    pass
+
+
+class VideoDataLoader:
+    """Iterates dicts: {'clips': [uint8 [B,T,S,S,3]] * num_clips,
+    'labels': int32 [B], 'mask': bool [B]}."""
+
+    def __init__(self, catalog, cfg: PipelineConfig):
+        self.catalog = catalog
+        self.cfg = cfg
+        self.epoch = 0
+        self._drop_last = cfg.drop_last if cfg.drop_last is not None else cfg.train
+        self._temporal = self._build_temporal()
+
+    # -- temporal transform selection (reference get_temporal_transform,
+    #    datasets/classification/__init__.py:268-313)
+    def _build_temporal(self):
+        c = self.cfg
+        if c.train and not c.force_n_crop:
+            if c.temporal_type == "clip":
+                return T.RandomStrideCrop(c.clip_len, c.strides)
+            if c.temporal_type == "cover":
+                return T.Cover(c.clip_len)
+            raise ValueError(f"Unknown temporal type {c.temporal_type!r}")
+        if c.temporal_type == "clip":
+            return T.EvenNCrop(c.clip_len, stride=c.eval_stride, n=c.n_crop)
+        if c.temporal_type == "cover":
+            return T.Cover(c.clip_len, n_crop=c.n_crop)
+        raise ValueError(f"Unknown temporal type {c.temporal_type!r}")
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.catalog)
+
+    def __len__(self) -> int:
+        n = len(self.catalog)
+        if self._drop_last:
+            return n // self.cfg.batch_size
+        return (n + self.cfg.batch_size - 1) // self.cfg.batch_size
+
+    # -- per-sample work (worker thread) ------------------------------------
+    def _load_sample(self, index: int, rng: np.random.Generator):
+        import cv2
+        c = self.cfg
+        sample = self.catalog[index]
+        with open_video(sample.video_path) as vr:
+            num_frames = vr.num_frames
+            if num_frames <= 0:
+                raise IOError(f"Empty video: {sample.video_path}")
+            frame_indices = np.arange(num_frames)
+            if c.frame_rate is not None:
+                frame_indices = T.resample_index(frame_indices, vr.fps,
+                                                 c.frame_rate)
+            # rebind transform RNG for reproducibility per (epoch, index)
+            if hasattr(self._temporal, "rng"):
+                self._temporal.rng = rng
+            clip_indices = [self._temporal(frame_indices)
+                            for _ in range(c.num_clips)]
+            all_idx = np.concatenate(clip_indices)
+            frames = vr.get_batch(all_idx)  # one decode pass (reference :75)
+
+        clips = []
+        ofs = 0
+        S = c.out_size
+        for ci in clip_indices:
+            clip = frames[ofs:ofs + len(ci)]
+            ofs += len(ci)
+            h, w = clip.shape[1:3]
+            if c.train:
+                i, j, bh, bw = _sample_crop_box(rng, h, w, c.crop_area)
+            else:
+                i, j, bh, bw = _center_max_box(h, w, 1.0)
+            cropped = clip[:, i:i + bh, j:j + bw]
+            out = np.empty((cropped.shape[0], S, S, 3), np.uint8)
+            for t in range(cropped.shape[0]):
+                out[t] = cv2.resize(cropped[t], (S, S),
+                                    interpolation=cv2.INTER_LINEAR)
+            clips.append(out)
+        return clips, sample.class_index
+
+    # -- iteration ----------------------------------------------------------
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.catalog)
+        if self.cfg.train:
+            rng = np.random.default_rng(self.cfg.seed * 100003 + self.epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def __iter__(self) -> Iterator[dict]:
+        c = self.cfg
+        indices = self._epoch_indices()
+        B = c.batch_size
+        n_batches = len(self)
+
+        def job(k: int):
+            idx = int(indices[k % len(indices)])
+            rng = np.random.default_rng(
+                (self.cfg.seed, self.epoch, k).__hash__() & 0x7FFFFFFF)
+            return self._load_sample(idx, rng), k < len(indices)
+
+        total = n_batches * B
+        with ThreadPoolExecutor(max_workers=max(1, c.num_workers)) as pool:
+            depth = max(2 * c.num_workers, B)
+            futures = {k: pool.submit(job, k)
+                       for k in range(min(depth, total))}
+            batch_clips: List[List[np.ndarray]] = [[] for _ in range(c.num_clips)]
+            labels: List[int] = []
+            mask: List[bool] = []
+            for k in range(total):
+                (clips, label), valid = futures.pop(k).result()
+                nxt = k + len(futures) + 1
+                if nxt < total:
+                    futures[nxt] = pool.submit(job, nxt)
+                for ci, clip in enumerate(clips):
+                    batch_clips[ci].append(clip)
+                labels.append(label)
+                mask.append(valid)
+                if len(labels) == B:
+                    yield {
+                        "clips": [np.stack(bc) for bc in batch_clips],
+                        "labels": np.asarray(labels, np.int32),
+                        "mask": np.asarray(mask, bool),
+                    }
+                    batch_clips = [[] for _ in range(c.num_clips)]
+                    labels, mask = [], []
+
+    def num_valid_samples(self) -> int:
+        """Total non-padded samples across the epoch (reference :44-50)."""
+        if self._drop_last:
+            return len(self) * self.cfg.batch_size
+        return len(self.catalog)
+
+
+def build_loader(cfg_tree, split: str, *, vid: bool = False,
+                 final_validate: bool = False, debug: bool = False,
+                 catalog=None) -> VideoDataLoader:
+    """ConfigTree -> VideoDataLoader (reference DataLoaderFactoryV3.build,
+    datasets/classification/__init__.py:64-149)."""
+    from .catalogs import build_catalog
+
+    tt = cfg_tree.get_config("temporal_transforms")
+    st = cfg_tree.get_config("spatial_transforms")
+    train = split == "train"
+
+    if train:
+        batch_size = cfg_tree.get_int("batch_size")
+    elif final_validate:
+        batch_size = cfg_tree.get_int("final_validate.batch_size")
+    else:
+        batch_size = cfg_tree.get_int("validate.batch_size")
+
+    n_crop = 1
+    if not train:
+        n_crop = tt.get_int("validate.final_n_crop") if final_validate \
+            else tt.get_int("validate.n_crop", 1)
+
+    cfg = PipelineConfig(
+        clip_len=tt.get_int("size"),
+        frame_rate=tt.get("frame_rate", None),
+        strides=[s.as_plain_dict() if hasattr(s, "as_plain_dict") else s
+                 for s in tt.get_list("strides", [{"stride": 1, "weight": 1}])],
+        temporal_type=tt.get_string("type", "clip"),
+        n_crop=n_crop,
+        eval_stride=tt.get_int("validate.stride", 1),
+        force_n_crop=tt.get_bool("force_n_crop", False),
+        out_size=st.get_int("size"),
+        crop_area=((0.4, 1.0) if vid else
+                   (st.get_float("crop_area.min", 0.25),
+                    st.get_float("crop_area.max", 1.0))),
+        num_clips=2 if vid else 1,
+        batch_size=batch_size,
+        train=train,
+        num_workers=cfg_tree.get_int("num_workers", 4),
+        seed=cfg_tree.get_int("seed", 0),
+    )
+    catalog = catalog or build_catalog(cfg_tree, split)
+    return VideoDataLoader(catalog, cfg)

@@ -1,0 +1,166 @@
+"""Video decode backends.
+
+The reference decodes with decord (C++/FFmpeg) per __getitem__
+(reference: datasets/classification/video.py:55-80). Here decode stays on
+the CPU host (TPUs have no video codecs) behind a small backend interface:
+
+- ``RspVideoReader``: our C++ FFmpeg extension (rspnet_tpu/native) — the
+  production path, mirrors decord's open/get_batch contract.
+- ``CvVideoReader``: OpenCV fallback (sequential grab/retrieve decode).
+- ``SyntheticVideoReader``: procedural frames for tests/benchmarks.
+
+``open_video(path)`` picks the backend: synthetic:// URLs -> synthetic,
+else the native extension when built, else OpenCV.
+"""
+from __future__ import annotations
+
+import logging
+import urllib.parse
+from typing import Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class VideoReaderBase:
+    num_frames: int = 0
+    fps: float = 30.0
+
+    def get_batch(self, indices: Sequence[int]) -> np.ndarray:
+        """-> uint8 [N, H, W, C] in RGB order."""
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class SyntheticVideoReader(VideoReaderBase):
+    """Deterministic procedural video: a bright square moves across a noisy
+    background; direction is keyed by the class id in the URL so the data is
+    learnable."""
+
+    def __init__(self, url: str):
+        q = urllib.parse.urlparse(url)
+        params = dict(urllib.parse.parse_qsl(q.query))
+        self.seed = int(q.netloc or 0)
+        self.num_frames = int(params.get("frames", 64))
+        self.height = int(params.get("h", 128))
+        self.width = int(params.get("w", 171))
+        self.cls = int(params.get("cls", 0))
+        self.fps = 30.0
+        rng = np.random.RandomState(self.seed % (2 ** 31))
+        self._bg = rng.randint(0, 80, (self.height, self.width, 3), np.uint8)
+        # direction angle from class id
+        ang = 2 * np.pi * self.cls / 10.0
+        self._vel = np.array([np.sin(ang), np.cos(ang)])
+        self._start = rng.rand(2) * 0.5 + 0.25
+
+    def get_batch(self, indices) -> np.ndarray:
+        indices = np.asarray(indices, dtype=np.int64)
+        out = np.empty((len(indices), self.height, self.width, 3), np.uint8)
+        size = max(self.height, self.width) // 6
+        for n, t in enumerate(indices):
+            frame = self._bg.copy()
+            # square position at time t (bounces off walls via reflection)
+            pos = self._start + self._vel * (float(t) / self.num_frames) * 0.8
+            pos = np.abs(np.mod(pos, 2.0) - 1.0)  # reflect into [0, 1]
+            cy = int(pos[0] * (self.height - size))
+            cx = int(pos[1] * (self.width - size))
+            frame[cy:cy + size, cx:cx + size] = (
+                200 + (t % 3) * 10, 180, 60 + self.cls * 15)
+            out[n] = frame
+        return out
+
+
+class CvVideoReader(VideoReaderBase):
+    """OpenCV-backed decode with sequential grab (avoids unreliable
+    frame-accurate seeks). Frames are returned in RGB."""
+
+    def __init__(self, path: str, num_threads: int = 1):
+        import cv2
+        self._cv2 = cv2
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise IOError(f"Cannot open video {path}")
+        self.path = path
+        self.num_frames = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 30.0
+        if self.num_frames <= 0:
+            # count by decoding (rare container without metadata)
+            n = 0
+            while self.cap.grab():
+                n += 1
+            self.num_frames = n
+            self.cap.release()
+            self.cap = cv2.VideoCapture(path)
+
+    def get_batch(self, indices) -> np.ndarray:
+        cv2 = self._cv2
+        indices = np.asarray(indices, dtype=np.int64)
+        order = np.argsort(indices, kind="stable")
+        sorted_idx = indices[order]
+        first, last = int(sorted_idx[0]), int(sorted_idx[-1])
+
+        # seek near the window start, then decode forward
+        pos = int(self.cap.get(cv2.CAP_PROP_POS_FRAMES))
+        if first < pos or first - pos > 300:
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, first)
+            pos = first
+
+        frames = {}
+        need = set(int(i) for i in sorted_idx)
+        cur = pos
+        last_ok = None
+        while cur <= last:
+            ok = self.cap.grab()
+            if not ok:
+                break
+            if cur in need:
+                ok, frame = self.cap.retrieve()
+                if not ok:
+                    break
+                frames[cur] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                last_ok = cur
+            cur += 1
+
+        if not frames:
+            raise IOError(f"Decode produced no frames for {self.path}")
+        # fill any missing frames with the nearest decoded one
+        fallback = frames.get(last_ok)
+        out = np.stack([frames.get(int(i), fallback) for i in indices])
+        return out
+
+    def close(self):
+        self.cap.release()
+
+
+_native_checked = False
+_native_available = False
+
+
+def _try_native():
+    global _native_checked, _native_available
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from ..native import video_decode  # noqa: F401
+            _native_available = video_decode.is_available()
+        except Exception:
+            _native_available = False
+    return _native_available
+
+
+def open_video(path: str, prefer_native: bool = True) -> VideoReaderBase:
+    if path.startswith("synthetic://"):
+        return SyntheticVideoReader(path)
+    if prefer_native and _try_native():
+        from ..native.video_decode import RspVideoReader
+        return RspVideoReader(path)
+    return CvVideoReader(path)

@@ -1,0 +1,47 @@
+"""SSL task layer: MoCo with dual pretext heads (A-VID + RSP).
+
+TPU-native rebuild of the reference moco/ package (SURVEY.md §2.3): the
+model factory produces a MultiTaskWrapper; training state and the fused
+train step live in builder.py.
+"""
+from .builder import (MoCoConfig, MoCoState, diff_speed_gather,
+                      init_moco_state, make_sharded_train_step,
+                      make_train_step, moco_loss, momentum_update,
+                      queue_update, speed_index_sets)
+from .wrapper import MultiTaskWrapper
+
+
+def build_moco_model(cfg, dtype=None, axis_name="data"):
+    """Build the pretrain MultiTaskWrapper + MoCoConfig from a ConfigTree
+    (reference: ModelFactory.build_moco_diffloss, moco/__init__.py:19-55)."""
+    from ..models import get_model_class
+
+    arch = cfg.get_string("model.arch")
+    encoder_factory = get_model_class(arch)
+    moco_cfg = MoCoConfig(
+        dim=cfg.get_int("moco.dim"),
+        k=cfg.get_int("moco.k"),
+        m=cfg.get_float("moco.m"),
+        t=cfg.get_float("moco.t"),
+        diff_speed=tuple(cfg.get_list("moco.diff_speed")),
+        fc_type=cfg.get_string("moco.fc_type", "linear"),
+        loss_lambda_a=cfg.get_float("loss_lambda.A", 1.0),
+        loss_lambda_m=cfg.get_float("loss_lambda.M", 1.0),
+    )
+    model = MultiTaskWrapper(
+        encoder_factory=encoder_factory,
+        num_classes=moco_cfg.dim,
+        finetune=False,
+        fc_type=moco_cfg.fc_type,
+        dtype=dtype,
+        axis_name=axis_name,
+    )
+    return model, moco_cfg
+
+
+__all__ = [
+    "MultiTaskWrapper", "MoCoConfig", "MoCoState", "build_moco_model",
+    "init_moco_state", "make_train_step", "make_sharded_train_step",
+    "momentum_update", "queue_update", "moco_loss", "diff_speed_gather",
+    "speed_index_sets",
+]

@@ -1,0 +1,285 @@
+"""MoCo + relative-speed pretraining as pure state transitions.
+
+TPU-native redesign of the reference's eager multi-kernel step (reference:
+moco/builder_diffspeed_diffloss.py:286-546). One compiled program per step
+fuses: momentum EMA, dual-speed temporal gather, three encoder passes,
+logits + loss, grad psum, SGD update, and the ring-buffer queue update.
+
+Design mapping (SURVEY.md §5.8):
+- shuffle-BN -> cross-replica BatchNorm (BN modules get ``axis_name='data'``
+  so moments psum over the mesh). Removes 4 all_gathers/step and the rank-0
+  permutation broadcast while decorrelating BN stats strictly better.
+- negative queue -> replicated [dim, K] buffer updated with all-gathered
+  keys via dynamic_update_slice; K % global_batch == 0 invariant kept
+  (reference :353, utils/moco.py:8-21).
+- per-step diff-speed choice -> lax.switch over precomputed index sets with
+  STATIC clip length T_real = T // max(diff_speed) (XLA needs static shapes;
+  the reference's variable T//s per step is GPU-eager-only. For the shipped
+  configs diff_speed=[2] the semantics are identical).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ..framework.metrics import accuracy
+
+
+class MoCoConfig(NamedTuple):
+    dim: int = 128
+    k: int = 16384
+    m: float = 0.999
+    t: float = 0.07
+    diff_speed: Tuple[int, ...] = (2,)
+    fc_type: str = "linear"
+    loss_lambda_a: float = 1.0
+    loss_lambda_m: float = 1.0
+    margin: float = 2.0              # reference: pretrain.py:49-53
+    alpha: float = 0.5               # batch split fraction (reference :334)
+
+
+class MoCoState(NamedTuple):
+    """Full pretraining state threaded through the compiled step."""
+    params_q: Any
+    params_k: Any
+    batch_stats_q: Any
+    batch_stats_k: Any
+    queue: jnp.ndarray              # [dim, K], L2-normalized columns
+    queue_ptr: jnp.ndarray          # [] int32
+    opt_state: Any
+    step: jnp.ndarray               # [] int32
+
+
+def init_moco_state(model, cfg: MoCoConfig, optimizer, rng,
+                    sample_shape: Tuple[int, ...]) -> MoCoState:
+    """Initialize encoders (k = copy of q), queue, and optimizer state."""
+    dummy = jnp.zeros(sample_shape, jnp.float32)
+    rng_p, rng_queue = jax.random.split(rng)
+    variables = model.init({"params": rng_p}, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+
+    queue = jax.random.normal(rng_queue, (cfg.dim, cfg.k), jnp.float32)
+    queue = queue / jnp.linalg.norm(queue, axis=0, keepdims=True)
+
+    return MoCoState(
+        params_q=params,
+        params_k=jax.tree_util.tree_map(jnp.copy, params),
+        batch_stats_q=batch_stats,
+        batch_stats_k=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        queue=queue,
+        queue_ptr=jnp.zeros((), jnp.int32),
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def momentum_update(params_q, params_k, m: float):
+    """EMA of the key encoder (reference :337-343)."""
+    return jax.tree_util.tree_map(
+        lambda k, q: k * m + q * (1.0 - m), params_k, params_q)
+
+
+def speed_index_sets(T: int, diff_speed: Sequence[int]) -> jnp.ndarray:
+    """Precomputed [n_speeds, T_real] temporal index table.
+
+    Row i holds arange(0, T, diff_speed[i])[:T_real]; the normal-speed window
+    is arange(T)[:T_real]. T_real = T // diff_speed[0] (static).
+    """
+    t_real = T // diff_speed[0]
+    rows = [jnp.arange(0, T, s)[:t_real] for s in diff_speed]
+    return jnp.stack(rows)
+
+
+def diff_speed_gather(im_q, im_k, key, cfg: MoCoConfig):
+    """Dual-speed subsampling (reference _diff_speed :421-447).
+
+    im_q/im_k: [B, T, H, W, C]. Returns (im_q_real, im_k_real,
+    im_k_negative) each [B, T_real, H, W, C]: half the batch plays at normal
+    speed, half at the sampled fast speed; the negative key plays at the
+    *opposite* speed of its query.
+    """
+    B, T = im_q.shape[0], im_q.shape[1]
+    t_real = T // cfg.diff_speed[0]
+    key_perm, key_speed = jax.random.split(key)
+
+    # which samples get speed-2 (fast) treatment: random half of the batch
+    perm = jax.random.permutation(key_perm, B)
+    n_s1 = int(B * cfg.alpha)
+    is_fast = jnp.zeros((B,), bool).at[perm[n_s1:]].set(True)
+
+    speed1 = jnp.arange(T)[:t_real]                        # normal speed
+    table = speed_index_sets(T, cfg.diff_speed)            # fast candidates
+    s_idx = jax.random.randint(key_speed, (), 0, len(cfg.diff_speed))
+    speed2 = table[s_idx]
+
+    # per-sample temporal index rows
+    idx_same = jnp.where(is_fast[:, None], speed2[None, :], speed1[None, :])
+    idx_opp = jnp.where(is_fast[:, None], speed1[None, :], speed2[None, :])
+
+    def gather_t(x, idx):
+        # x: [B, T, H, W, C], idx: [B, T_real]
+        return jax.vmap(lambda clip, i: jnp.take(clip, i, axis=0))(x, idx)
+
+    im_q_real = gather_t(im_q, idx_same)
+    im_k_real = gather_t(im_k, idx_same)
+    im_k_negative = gather_t(im_k, idx_opp)
+    return im_q_real, im_k_real, im_k_negative
+
+
+def queue_update(queue, queue_ptr, keys):
+    """Ring-buffer enqueue of (already globally gathered) keys
+    (reference :345-359). keys: [global_B, dim]."""
+    batch = keys.shape[0]
+    queue = jax.lax.dynamic_update_slice(
+        queue, keys.T.astype(queue.dtype), (0, queue_ptr))
+    queue_ptr = (queue_ptr + batch) % queue.shape[1]
+    return queue, queue_ptr
+
+
+def moco_loss(logits1, logits2, l_pos_m, l_neg_m, cfg: MoCoConfig):
+    """A * (CE(logits1) + CE(logits2)) + M * margin_ranking
+    (reference Loss :263-283); labels_A = 0, ranking target = +1."""
+    labels = jnp.zeros(logits1.shape[0], jnp.int32)
+    ce1 = optax.softmax_cross_entropy_with_integer_labels(logits1, labels).mean()
+    ce2 = optax.softmax_cross_entropy_with_integer_labels(logits2, labels).mean()
+    ranking = jnp.maximum(0.0, cfg.margin - (l_pos_m - l_neg_m)).mean()
+    loss_a = ce1 + ce2
+    loss = cfg.loss_lambda_a * loss_a + cfg.loss_lambda_m * ranking
+    return loss, loss_a, ranking
+
+
+def make_train_step(model, optimizer, cfg: MoCoConfig,
+                    axis_name: Optional[str] = "data"
+                    ) -> Callable:
+    """Build the per-replica train step (to be wrapped in shard_map/jit).
+
+    model: MultiTaskWrapper in pretrain mode (BN axis_name must match).
+    Returns step(state, im_q, im_k, rng) -> (state, metrics).
+    """
+
+    def apply_encoder(params, batch_stats, x, train):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=train,
+            mutable=["batch_stats"] if train else [],
+            rngs=None)
+        new_stats = mut["batch_stats"] if train else batch_stats
+        return out, new_stats
+
+    def step(state: MoCoState, im_q, im_k, rng):
+        # identical rng on every replica (replicated inputs) => identical
+        # speed choice; batch permutation applies to the local shard, like
+        # the reference's per-rank randperm (builder :333-335)
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        rng_speed, _ = jax.random.split(rng)
+
+        # 1. momentum update BEFORE key encoding (reference :507-509)
+        params_k = momentum_update(state.params_q, state.params_k, cfg.m)
+
+        # 2. dual-speed sampling (no grad)
+        im_q_real, im_k_real, im_k_neg = diff_speed_gather(
+            im_q, im_k, rng_speed, cfg)
+
+        # 3. key encoder passes (no grad; cross-replica BN instead of
+        #    shuffle-BN)
+        (k_neg_a, k_neg_m), stats_k = apply_encoder(
+            params_k, state.batch_stats_k, im_k_neg, train=True)
+        (k_a, k_m), stats_k = apply_encoder(
+            params_k, stats_k, im_k_real, train=True)
+        k_a = jax.lax.stop_gradient(k_a)
+        k_m = jax.lax.stop_gradient(k_m)
+        k_neg_a = jax.lax.stop_gradient(k_neg_a)
+        k_neg_m = jax.lax.stop_gradient(k_neg_m)
+
+        # 4. query pass + loss (differentiated)
+        def loss_fn(params_q):
+            (q_a, q_m), stats_q = apply_encoder(
+                params_q, state.batch_stats_q, im_q_real, train=True)
+            l_pos_a1 = jnp.sum(q_a * k_a, axis=1, keepdims=True)
+            l_pos_a2 = jnp.sum(q_a * k_neg_a, axis=1, keepdims=True)
+            l_neg_a = q_a @ jax.lax.stop_gradient(state.queue)
+            l_pos_m = jnp.sum(q_m * k_m, axis=1, keepdims=True)
+            l_neg_m = jnp.sum(q_m * k_neg_m, axis=1, keepdims=True)
+
+            t = cfg.t
+            logits1 = jnp.concatenate([l_pos_a1, l_neg_a], axis=1) / t
+            logits2 = jnp.concatenate([l_pos_a2, l_neg_a], axis=1) / t
+            l_pos_m, l_neg_m = l_pos_m / t, l_neg_m / t
+
+            loss, loss_a, loss_m = moco_loss(logits1, logits2, l_pos_m,
+                                             l_neg_m, cfg)
+            aux = (stats_q, logits1, logits2, l_pos_m, l_neg_m,
+                   loss_a, loss_m)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params_q)
+        stats_q, logits1, logits2, l_pos_m, l_neg_m, loss_a, loss_m = aux
+
+        # 5. data-parallel gradient mean (replaces DDP allreduce)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params_q)
+        params_q = optax.apply_updates(state.params_q, updates)
+
+        # 6. queue update with globally gathered negative keys
+        #    (reference enqueues k_neg_A, :544)
+        keys = k_neg_a
+        if axis_name is not None:
+            keys = jax.lax.all_gather(k_neg_a, axis_name, axis=0,
+                                      tiled=True)
+        queue, queue_ptr = queue_update(state.queue, state.queue_ptr, keys)
+
+        # 7. metrics (percent), averaged over replicas
+        labels = jnp.zeros(logits1.shape[0], jnp.int32)
+        acc1_a, acc5_a = accuracy(logits1, labels, topk=(1, 5))
+        acc1_a2, acc5_a2 = accuracy(logits2, labels, topk=(1, 5))
+        acc_m = jnp.mean((l_pos_m > l_neg_m).astype(jnp.float32)) * 100.0
+        metrics = {
+            "loss": loss, "loss_A": loss_a, "loss_M": loss_m,
+            "acc1_A": acc1_a, "acc5_A": acc5_a,
+            "acc1_A_n": acc1_a2, "acc5_A_n": acc5_a2,
+            "acc1_M": acc_m,
+        }
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+
+        new_state = MoCoState(
+            params_q=params_q, params_k=params_k,
+            batch_stats_q=stats_q, batch_stats_k=stats_k,
+            queue=queue, queue_ptr=queue_ptr,
+            opt_state=opt_state, step=state.step + 1)
+        return new_state, metrics
+
+    return step
+
+
+def make_sharded_train_step(model, optimizer, cfg: MoCoConfig, mesh,
+                            axis_name: str = "data",
+                            donate: bool = True) -> Callable:
+    """jit(shard_map(step)): batch sharded on the data axis, state replicated.
+
+    The returned function takes (state, im_q [B_global,...], im_k, rng) and
+    runs one fused step over the whole mesh.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    step = make_train_step(model, optimizer, cfg, axis_name=axis_name)
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

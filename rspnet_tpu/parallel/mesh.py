@@ -1,0 +1,52 @@
+"""Mesh + sharding helpers for the data-parallel runtime.
+
+Replaces the reference's process-per-GPU NCCL setup (reference:
+pretrain.py:278-283, framework/utils/distributed.py): one JAX process per
+host, a 1-D ``data`` mesh across every chip, batches sharded on their leading
+axis, model/optimizer state replicated. Multi-host initialization goes
+through ``jax.distributed.initialize`` (the TCP free-port rendezvous is
+obsolete).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first n devices (all by default)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def data_parallel_specs(mesh: Mesh, axis: str = "data"):
+    """(batch_spec, replicated_spec) shardings for the mesh."""
+    return (NamedSharding(mesh, P(axis)), NamedSharding(mesh, P()))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch sharded over the mesh's data axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Place a pytree fully replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_shard(global_batch_size: int, mesh: Mesh, axis: str = "data") -> int:
+    n = mesh.shape[axis]
+    if global_batch_size % n != 0:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by mesh axis "
+            f"{axis}={n}")
+    return global_batch_size // n
