@@ -1,0 +1,64 @@
+"""RSPNet-TPU finetune CLI (reference: finetune.py:426-502).
+
+Trains a classifier (optionally from a MoCo checkpoint via --mc), validates
+every epoch, then re-runs a final multi-crop validation on model_best
+(reference: finetune.py:464-469).
+"""
+import logging
+import sys
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    from rspnet_tpu.config import get_config, save_config
+    from rspnet_tpu.framework import (Args, initialize_seed,
+                                      set_logging_basic_config, ulimit_n_max)
+    from rspnet_tpu.framework.code_pack import pack_code
+
+    args = Args.from_args(argv)
+    args.resolve_continue()
+    args.make_run_dir()
+    if args.run_dir is None:
+        raise SystemExit("an experiment dir is required (-e)")
+    args.save()
+    set_logging_basic_config(args.run_dir, debug=args.debug)
+    pack_code(args.run_dir)
+    ulimit_n_max()
+
+    cfg = get_config(args)
+    cfg.put("seed", args.seed if args.seed is not None else 0)
+    save_config(args, cfg)
+    initialize_seed(args.seed, rank=0)
+
+    from rspnet_tpu.engines.finetune import FinetuneEngine
+
+    if not args.validate:
+        engine = FinetuneEngine(args, cfg, final_validate=False)
+        if args.load_checkpoint:
+            engine.load_checkpoint(args.load_checkpoint)
+        elif args.load_model:
+            engine.load_model_only(args.load_model)
+        elif args.moco_checkpoint:
+            engine.load_moco_checkpoint(args.moco_checkpoint)
+        best_acc1 = engine.run()
+        logger.info("Training finished. best_acc1=%.2f", best_acc1)
+
+    # final multi-crop validation on the best model (fresh engine,
+    # final_n_crop loaders)
+    final = FinetuneEngine(args, cfg, final_validate=True)
+    best_path = args.experiment_dir / "model_best.pth.tar"
+    ckpt_path = args.load_checkpoint if args.validate and args.load_checkpoint \
+        else best_path
+    if ckpt_path and ckpt_path.exists():
+        final.load_model_only(ckpt_path)
+    else:
+        logger.warning("No checkpoint for final validation (%s)", ckpt_path)
+    result = final.validate_epoch(final.current_epoch, prefix="final")
+    logger.info("Final validate: acc1=%.2f acc5=%.2f", result["acc1"],
+                result["acc5"])
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -192,7 +192,7 @@ class VideoDataLoader:
 
 def build_loader(cfg_tree, split: str, *, vid: bool = False,
                  final_validate: bool = False, debug: bool = False,
-                 catalog=None) -> VideoDataLoader:
+                 catalog=None, batch_multiplier: int = 1) -> VideoDataLoader:
     """ConfigTree -> VideoDataLoader (reference DataLoaderFactoryV3.build,
     datasets/classification/__init__.py:64-149)."""
     from .catalogs import build_catalog
@@ -201,12 +201,15 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
     st = cfg_tree.get_config("spatial_transforms")
     train = split == "train"
 
+    # config batch sizes are per-replica (reference: one DataLoader per GPU
+    # process); multiply by the mesh size to get the global batch
     if train:
         batch_size = cfg_tree.get_int("batch_size")
     elif final_validate:
         batch_size = cfg_tree.get_int("final_validate.batch_size")
     else:
         batch_size = cfg_tree.get_int("validate.batch_size")
+    batch_size *= batch_multiplier
 
     n_crop = 1
     if not train:

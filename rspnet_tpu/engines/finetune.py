@@ -1,0 +1,277 @@
+"""Supervised finetune engine (reference: finetune.py:149-472).
+
+Train + per-epoch validation + final multi-crop validation, mesh-parallel.
+Multi-crop clips arrive time-concatenated from the loader (EvenNCrop tiles
+n_crop windows); the compiled step unfolds them into the batch axis and
+averages logits (reference reshape_clip/average_logits, finetune.py:44-61).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigTree
+from ..framework import CheckpointManager, MeterGroup, load_state
+from ..framework.lr_schedule import build_optimizer, build_scheduler, set_opt_lr
+from ..models import get_model_class
+from ..moco import MultiTaskWrapper
+from ..ops.augment import augment_batch, eval_preprocess, center_crop_params, \
+    sample_train_params
+from ..parallel import create_mesh, replicate_to_mesh, shard_batch
+from .classifier import (TrainState, init_train_state,
+                         make_classifier_eval_step,
+                         make_classifier_train_step, shard_classifier_step)
+from .transfer import load_pretrained_encoder, merge_encoder_into
+
+logger = logging.getLogger(__name__)
+
+
+def build_classifier_model(cfg: ConfigTree, dtype=None, axis_name="data"):
+    """model_type 1stream | multitask (reference: finetune.py:163-169)."""
+    arch = cfg.get_string("model.arch")
+    num_classes = cfg.get_int("dataset.num_classes")
+    model_type = cfg.get_string("model_type", "1stream")
+    factory = get_model_class(arch)
+    if model_type == "1stream":
+        return factory(num_classes=num_classes, dtype=dtype,
+                       axis_name=axis_name), model_type
+    if model_type == "multitask":
+        return MultiTaskWrapper(
+            encoder_factory=factory, num_classes=num_classes, finetune=True,
+            dtype=dtype, axis_name=axis_name), model_type
+    raise ValueError(f'Unrecognized model_type "{model_type}"')
+
+
+class FinetuneEngine:
+    def __init__(self, args, cfg: ConfigTree, final_validate: bool = False,
+                 build_loader_fn=None):
+        self.args = args
+        self.cfg = cfg
+        self.debug = bool(getattr(args, "debug", False))
+        self.final_validate = final_validate
+
+        self.mesh = create_mesh()
+        self.world_size = self.mesh.shape["data"]
+        on_tpu = jax.devices()[0].platform == "tpu"
+        self.model, self.model_type = build_classifier_model(
+            cfg, dtype=jnp.bfloat16 if on_tpu else None, axis_name="data")
+        self.arch = cfg.get_string("model.arch")
+        self.only_train_fc = cfg.get_bool("only_train_fc", False)
+
+        self.learning_rate = cfg.get_float("optimizer.lr")
+        self.num_epochs = cfg.get_int("num_epochs")
+        self.optimizer = build_optimizer(cfg.get_config("optimizer"),
+                                         self.learning_rate)
+        self.scheduler = build_scheduler(
+            cfg.get_string("optimizer.schedule", "none"), self.learning_rate,
+            num_epochs=self.num_epochs,
+            milestones=cfg.get_list("optimizer.milestones", []),
+            patience=cfg.get_int("optimizer.patience", 10))
+
+        if build_loader_fn is None:
+            from ..data.pipeline import build_loader
+            build_loader_fn = build_loader
+        if not final_validate:
+            self.train_loader = build_loader_fn(
+                cfg, "train", debug=self.debug,
+                batch_multiplier=self.world_size)
+        self.validate_loader = build_loader_fn(
+            cfg, "val", final_validate=final_validate,
+            batch_multiplier=self.world_size)
+
+        tt = cfg.get_config("temporal_transforms")
+        self.n_crop = (tt.get_int("validate.final_n_crop") if final_validate
+                       else tt.get_int("validate.n_crop", 1))
+        self.clip_len = tt.get_int("size")
+        self.size = cfg.get_int("spatial_transforms.size")
+
+        self.state = init_train_state(
+            self.model, self.optimizer,
+            jax.random.PRNGKey(cfg.get_int("seed", 0)),
+            (1, self.clip_len, self.size, self.size, 3))
+        self.state = replicate_to_mesh(self.state, self.mesh)
+
+        self.train_step = shard_classifier_step(
+            make_classifier_train_step(
+                self.model, self.optimizer, n_crop=1, axis_name="data",
+                only_train_fc=self.only_train_fc),
+            self.mesh)
+        self.eval_step = shard_classifier_step(
+            make_classifier_eval_step(self.model, n_crop=self.n_crop,
+                                      axis_name="data"),
+            self.mesh, is_eval=True)
+
+        self.checkpoint_manager = CheckpointManager(args.experiment_dir,
+                                                    keep_interval=None)
+        self.log_interval = cfg.get_int("log_interval", 10)
+        self.best_acc1 = 0.0
+        self.current_epoch = 0
+        self.rng = np.random.default_rng(cfg.get_int("seed", 0))
+        self.step_key = jax.random.PRNGKey(cfg.get_int("seed", 0) + 1)
+
+        self.summary_writer = None
+        if args.experiment_dir is not None and not final_validate:
+            try:
+                from tensorboardX import SummaryWriter
+                self.summary_writer = SummaryWriter(
+                    logdir=str(args.experiment_dir))
+            except ImportError:
+                pass
+
+        st = cfg.get_config("spatial_transforms")
+        self.aug = dict(
+            gray_p=st.get_float("gray_scale", 0.0),
+            jitter=(st.get_float("color_jitter.brightness", 0.0),
+                    st.get_float("color_jitter.contrast", 0.0),
+                    st.get_float("color_jitter.saturation", 0.0),
+                    st.get_float("color_jitter.hue", 0.0)),
+            h_flip=st.get_float("h_flip", 0.5),
+        )
+        self.normalize = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+
+    # -- device preprocessing -------------------------------------------------
+    def _device_train_augment(self, clip_u8: np.ndarray) -> jnp.ndarray:
+        B, _, H, W, _ = clip_u8.shape
+        p = sample_train_params(self.rng, B, [(H, W)], crop_area=(1.0, 1.0),
+                                h_flip=self.aug["h_flip"],
+                                gray_p=self.aug["gray_p"],
+                                jitter=self.aug["jitter"])
+        p.boxes[:] = [0, 0, H, W]
+        mean, std = self.normalize
+        return augment_batch(jnp.asarray(clip_u8), p.boxes, p.flip, p.jitter,
+                             p.order, p.gray, p.blur,
+                             size=(self.size, self.size), mean=mean, std=std)
+
+    def _device_eval_preprocess(self, clip_u8: np.ndarray) -> jnp.ndarray:
+        B, _, H, W, _ = clip_u8.shape
+        p = center_crop_params(B, [(H, W)])
+        p.boxes[:] = [0, 0, H, W]
+        mean, std = self.normalize
+        return eval_preprocess(jnp.asarray(clip_u8), p.boxes,
+                               size=(self.size, self.size), mean=mean,
+                               std=std)
+
+    # -- loading ---------------------------------------------------------------
+    def load_moco_checkpoint(self, path) -> None:
+        enc_params, enc_stats = load_pretrained_encoder(path, self.arch)
+        s = jax.device_get(self.state)
+        params, stats = merge_encoder_into(
+            dict(s.params), dict(s.batch_stats), enc_params, enc_stats,
+            self.model_type)
+        self.state = replicate_to_mesh(
+            self.state._replace(params=params, batch_stats=stats), self.mesh)
+
+    def load_checkpoint(self, path) -> None:
+        states = load_state(path)
+        if states["arch"] != self.arch:
+            raise ValueError(
+                f'Checkpoint arch {states["arch"]!r} != {self.arch!r}')
+        m = states["model"]
+        self.state = self.state._replace(
+            params=m["params"], batch_stats=m["batch_stats"],
+            opt_state=states["optimizer"])
+        self.scheduler.load_state_dict(states["scheduler"])
+        self.current_epoch = int(states["epoch"])
+        self.best_acc1 = float(states["best_acc1"])
+        self.state = replicate_to_mesh(self.state, self.mesh)
+        logger.info("Loaded checkpoint %s (epoch %d)", path,
+                    self.current_epoch)
+
+    def load_model_only(self, path) -> None:
+        states = load_state(path)
+        m = states["model"]
+        self.state = replicate_to_mesh(
+            self.state._replace(params=m["params"],
+                                batch_stats=m["batch_stats"]), self.mesh)
+
+    # -- epochs ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> MeterGroup:
+        meters = MeterGroup(["loss", "acc1", "acc5"])
+        self.train_loader.set_epoch(epoch)
+        n_batches = len(self.train_loader)
+        t0 = time.perf_counter()
+        for i, batch in enumerate(self.train_loader):
+            clips = self._device_train_augment(batch["clips"][0])
+            clips = shard_batch(clips, self.mesh)
+            labels = shard_batch(jnp.asarray(batch["labels"]), self.mesh)
+            self.step_key, sub = jax.random.split(self.step_key)
+            self.state, metrics = self.train_step(self.state, clips, labels,
+                                                  sub)
+            host = {k: float(v) for k, v in metrics.items()}
+            meters.update(host, n=batch["labels"].shape[0])
+            if i % self.log_interval == 0:
+                logger.info("Train [%d/%d][%d/%d]\t%s", epoch,
+                            self.num_epochs, i, n_batches, meters)
+            if self.debug and i >= 2:
+                break
+        logger.info("Train epoch %d done in %.1fs", epoch,
+                    time.perf_counter() - t0)
+        if self.summary_writer is not None:
+            for k in ("loss", "acc1", "acc5"):
+                self.summary_writer.add_scalar(f"train/{k}", meters[k].avg,
+                                               epoch)
+            self.summary_writer.add_scalar("train/lr", self.scheduler.lr,
+                                           epoch)
+        return meters
+
+    def validate_epoch(self, epoch: int, prefix: str = "val"):
+        totals = {"loss_sum": 0.0, "correct1": 0.0, "correct5": 0.0,
+                  "count": 0.0}
+        self.validate_loader.set_epoch(epoch)
+        t0 = time.perf_counter()
+        for i, batch in enumerate(self.validate_loader):
+            clips = self._device_eval_preprocess(batch["clips"][0])
+            clips = shard_batch(clips, self.mesh)
+            labels = shard_batch(jnp.asarray(batch["labels"]), self.mesh)
+            mask = shard_batch(jnp.asarray(batch["mask"]), self.mesh)
+            sums = self.eval_step(self.state, clips, labels, mask)
+            for k in totals:
+                totals[k] += float(sums[k])
+            if self.debug and i >= 2:
+                break
+        count = max(totals["count"], 1.0)
+        loss = totals["loss_sum"] / count
+        acc1 = totals["correct1"] / count * 100.0
+        acc5 = totals["correct5"] / count * 100.0
+        logger.info("Validate epoch %d: loss=%.4f acc1=%.2f acc5=%.2f "
+                    "(%d samples, %.1fs)", epoch, loss, acc1, acc5,
+                    int(count), time.perf_counter() - t0)
+        if self.summary_writer is not None:
+            self.summary_writer.add_scalar(f"{prefix}/loss", loss, epoch)
+            self.summary_writer.add_scalar(f"{prefix}/acc1", acc1, epoch)
+            self.summary_writer.add_scalar(f"{prefix}/acc5", acc5, epoch)
+        return {"loss": loss, "acc1": acc1, "acc5": acc5}
+
+    def run(self):
+        num_epochs = 1 if self.debug else self.num_epochs
+        for epoch in range(self.current_epoch + 1, num_epochs + 1):
+            self.current_epoch = epoch
+            train_meters = self.train_epoch(epoch)
+            val = self.validate_epoch(epoch)
+            if self.scheduler.__class__.__name__ == "PlateauLR":
+                lr = self.scheduler.step(val["loss"])
+            else:
+                lr = self.scheduler.step()
+            self.state = self.state._replace(
+                opt_state=set_opt_lr(self.state.opt_state, lr))
+
+            is_best = val["acc1"] > self.best_acc1
+            self.best_acc1 = max(self.best_acc1, val["acc1"])
+            self.save_checkpoint(epoch, is_best)
+        return self.best_acc1
+
+    def save_checkpoint(self, epoch: int, is_best: bool) -> None:
+        s = jax.device_get(self.state)
+        self.checkpoint_manager.save({
+            "epoch": epoch,
+            "arch": self.arch,
+            "model": {"params": s.params, "batch_stats": s.batch_stats},
+            "best_acc1": self.best_acc1,
+            "optimizer": s.opt_state,
+            "scheduler": self.scheduler.state_dict(),
+        }, is_best, epoch)

@@ -1,0 +1,244 @@
+"""MoCo + RSP pretraining engine (reference: pretrain.py:33-260).
+
+Single-process, mesh-parallel: one JAX process drives every local chip via
+the 1-D data mesh (the reference forked one NCCL process per GPU,
+pretrain.py:336). The hot loop:
+
+  host loader (decode + geometry, uint8)
+    -> device fused color augment (ops.augment)
+    -> fused MoCo train step (moco.builder; EMA/gather/forwards/grads/queue)
+
+Run-dir artifacts match the reference: checkpoint.pth.tar (epoch/arch/model/
+best_loss/optimizer/scheduler), model_best hard link, TensorBoard scalars
+train/{loss,loss_A,acc1_A,acc5_A,loss_A_n,acc1_A_n,acc5_A_n,loss_M,acc1_M,lr}.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigTree
+from ..framework import CheckpointManager, MeterGroup, load_state
+from ..framework.environment import scale_learning_rate
+from ..framework.lr_schedule import build_optimizer, build_scheduler, set_opt_lr
+from ..moco import (MoCoState, build_moco_model, init_moco_state,
+                    make_sharded_train_step)
+from ..ops.augment import augment_batch, center_crop_params, sample_train_params
+from ..parallel import create_mesh, replicate_to_mesh, shard_batch
+from ..utils.moco import replace_moco_k_in_config
+
+logger = logging.getLogger(__name__)
+
+_METER_KEYS = ["loss", "loss_A", "loss_M", "acc1_A", "acc5_A",
+               "acc1_A_n", "acc5_A_n", "acc1_M"]
+
+
+class PretrainEngine:
+    def __init__(self, args, cfg: ConfigTree, build_loader_fn=None):
+        self.args = args
+        self.cfg = cfg
+        self.debug = bool(getattr(args, "debug", False))
+
+        self.mesh = create_mesh()
+        self.world_size = self.mesh.shape["data"]
+        logger.info("Mesh: %d device(s) on %s", self.world_size,
+                    jax.devices()[0].platform)
+
+        # global batch = per-replica batch * replicas (reference batch_size
+        # is per-GPU)
+        self.batch_size = cfg.get_int("batch_size")
+        self.global_batch = self.batch_size * self.world_size
+        replace_moco_k_in_config(cfg, self.global_batch)
+
+        self.model, self.moco_cfg = build_moco_model(
+            cfg, dtype=jnp.bfloat16 if self._on_tpu() else None,
+            axis_name="data")
+        self.arch = cfg.get_string("model.arch")
+
+        # lr scaling (reference: framework/utils/environment.py:13-16)
+        lr = cfg.get_float("optimizer.lr")
+        if not getattr(args, "no_scale_lr", False):
+            lr = scale_learning_rate(lr, self.world_size, self.batch_size)
+            logger.info("Scaled lr: %f", lr)
+        self.num_epochs = cfg.get_int("num_epochs")
+        self.scheduler = build_scheduler(
+            cfg.get_string("optimizer.schedule", "cosine"), lr,
+            num_epochs=self.num_epochs,
+            milestones=cfg.get_list("optimizer.milestones", []),
+            patience=cfg.get_int("optimizer.patience", 10))
+        self.optimizer = build_optimizer(cfg.get_config("optimizer"), lr)
+
+        # data
+        if build_loader_fn is None:
+            from ..data.pipeline import build_loader
+            build_loader_fn = build_loader
+        self.train_loader = build_loader_fn(cfg, "train", vid=True,
+                                            debug=self.debug,
+                                            batch_multiplier=self.world_size)
+
+        self.t_load = cfg.get_int("temporal_transforms.size")
+        self.size = cfg.get_int("spatial_transforms.size")
+        t_real = (self.t_load // self.moco_cfg.diff_speed[0]
+                  if self.moco_cfg.diff_speed else self.t_load)
+        self.state: MoCoState = init_moco_state(
+            self.model, self.moco_cfg, self.optimizer,
+            jax.random.PRNGKey(cfg.get_int("seed", 0)),
+            (1, t_real, self.size, self.size, 3))
+        self.state = replicate_to_mesh(self.state, self.mesh)
+
+        self.train_step = make_sharded_train_step(
+            self.model, self.optimizer, self.moco_cfg, self.mesh)
+
+        self.checkpoint_manager = CheckpointManager(
+            args.experiment_dir,
+            keep_interval=cfg.get_int("checkpoint_interval", None))
+        self.meters = MeterGroup(_METER_KEYS)
+        self.log_interval = cfg.get_int("log_interval", 10)
+        self.best_loss = float("inf")
+        self.current_epoch = 1
+        self.rng = np.random.default_rng(cfg.get_int("seed", 0))
+        self.step_key = jax.random.PRNGKey(cfg.get_int("seed", 0) + 1)
+
+        self.summary_writer = None
+        if args.experiment_dir is not None:
+            try:
+                from tensorboardX import SummaryWriter
+                self.summary_writer = SummaryWriter(
+                    logdir=str(args.experiment_dir))
+            except ImportError:
+                logger.warning("tensorboardX unavailable; no TB logs")
+
+        # augment settings (reference get_transform_vid hardcodes the MoCo
+        # stack, datasets/classification/__init__.py:186-216)
+        self.aug_plus = cfg.get_bool("moco.aug_plus", False)
+        self.normalize = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+        if self.debug:
+            # debug disables normalization in the VID pipeline (:152-162)
+            self.normalize = ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+
+    @staticmethod
+    def _on_tpu() -> bool:
+        return jax.devices()[0].platform == "tpu"
+
+    # -- device-side augmentation of a pre-cropped uint8 batch ---------------
+    def _augment_clip(self, clip_u8: np.ndarray) -> jnp.ndarray:
+        B = clip_u8.shape[0]
+        hw = [(clip_u8.shape[2], clip_u8.shape[3])]
+        if self.aug_plus:
+            p = sample_train_params(
+                self.rng, B, hw, crop_area=(1.0, 1.0), h_flip=0.5,
+                gray_p=0.2, jitter=(0.4, 0.4, 0.4, 0.1), jitter_p=0.8,
+                blur_p=0.5)
+            gray_first, use_blur = False, True
+        else:
+            p = sample_train_params(
+                self.rng, B, hw, crop_area=(1.0, 1.0), h_flip=0.5,
+                gray_p=0.2, jitter=(0.4, 0.4, 0.4, 0.4))
+            gray_first, use_blur = True, False
+        # crop/resize already happened on host: identity boxes
+        p.boxes[:] = [0, 0, clip_u8.shape[2], clip_u8.shape[3]]
+        mean, std = self.normalize
+        return augment_batch(
+            jnp.asarray(clip_u8), p.boxes, p.flip, p.jitter, p.order,
+            p.gray, p.blur, size=(self.size, self.size), mean=mean, std=std,
+            gray_before_jitter=gray_first, use_blur=use_blur)
+
+    # -- epochs ---------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> None:
+        self.meters.reset()
+        self.train_loader.set_epoch(epoch)
+        n_batches = len(self.train_loader)
+        t_epoch = time.perf_counter()
+        samples = 0
+
+        for i, batch in enumerate(self.train_loader):
+            clip_q = self._augment_clip(batch["clips"][0])
+            clip_k = self._augment_clip(batch["clips"][1])
+            clip_q = shard_batch(clip_q, self.mesh)
+            clip_k = shard_batch(clip_k, self.mesh)
+            self.step_key, sub = jax.random.split(self.step_key)
+            self.state, metrics = self.train_step(self.state, clip_q,
+                                                  clip_k, sub)
+            samples += batch["labels"].shape[0]
+
+            if i % self.log_interval == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                self.meters.update(host, n=self.log_interval)
+                logger.info(
+                    "Epoch %d [%d/%d] %s lr=%.5f", epoch, i, n_batches,
+                    "\t".join(f"{k}={v:.4f}" for k, v in host.items()),
+                    self.scheduler.lr)
+            if self.debug and i >= 2:
+                break
+
+        jax.block_until_ready(self.state.step)
+        dt = time.perf_counter() - t_epoch
+        logger.info("Epoch %d done in %.1fs (%.1f clips/s)", epoch, dt,
+                    samples / max(dt, 1e-9))
+
+        if self.summary_writer is not None:
+            for k in _METER_KEYS:
+                self.summary_writer.add_scalar(
+                    f"train/{k}", self.meters[k].avg, epoch)
+            self.summary_writer.add_scalar("train/lr", self.scheduler.lr,
+                                           epoch)
+
+    def run(self) -> None:
+        num_epochs = 1 if self.debug else self.num_epochs
+        for epoch in range(self.current_epoch, num_epochs + 1):
+            self.current_epoch = epoch
+            self.train_epoch(epoch)
+            lr = self.scheduler.step(self.meters["loss"].avg)
+            self.state = self.state._replace(
+                opt_state=set_opt_lr(self.state.opt_state, lr))
+
+            loss_avg = self.meters["loss"].avg
+            is_best = loss_avg < self.best_loss
+            self.best_loss = min(self.best_loss, loss_avg)
+            self.save_checkpoint(epoch, is_best)
+
+    # -- checkpointing --------------------------------------------------------
+    def save_checkpoint(self, epoch: int, is_best: bool) -> None:
+        s = jax.device_get(self.state)
+        state = {
+            "epoch": epoch,
+            "arch": self.arch,
+            "model": {
+                "params_q": s.params_q,
+                "params_k": s.params_k,
+                "batch_stats_q": s.batch_stats_q,
+                "batch_stats_k": s.batch_stats_k,
+                "queue": s.queue,
+                "queue_ptr": s.queue_ptr,
+            },
+            "best_loss": self.best_loss,
+            "optimizer": s.opt_state,
+            "scheduler": self.scheduler.state_dict(),
+        }
+        self.checkpoint_manager.save(state, is_best, epoch)
+
+    def load_checkpoint(self, path, model_only: bool = False) -> None:
+        ckpt = load_state(path)
+        if ckpt.get("arch") != self.arch:
+            raise ValueError(
+                f"Checkpoint arch {ckpt.get('arch')!r} != {self.arch!r}")
+        m = ckpt["model"]
+        self.state = self.state._replace(
+            params_q=m["params_q"], params_k=m["params_k"],
+            batch_stats_q=m["batch_stats_q"],
+            batch_stats_k=m["batch_stats_k"],
+            queue=jnp.asarray(m["queue"]),
+            queue_ptr=jnp.asarray(m["queue_ptr"]))
+        if not model_only:
+            self.state = self.state._replace(opt_state=ckpt["optimizer"])
+            self.scheduler.load_state_dict(ckpt["scheduler"])
+            self.current_epoch = int(ckpt["epoch"]) + 1
+            self.best_loss = float(ckpt.get("best_loss", float("inf")))
+        self.state = replicate_to_mesh(self.state, self.mesh)
+        logger.info("Loaded checkpoint from %s (epoch %s)", path,
+                    ckpt.get("epoch"))

@@ -34,13 +34,22 @@ def _to_numpy_tree(obj: Any) -> Any:
     return jax.tree_util.tree_map(conv, obj)
 
 
+def _map_container(obj: Any, fn) -> Any:
+    if isinstance(obj, dict):
+        return type(obj)((k, fn(v)) for k, v in obj.items())
+    if isinstance(obj, tuple) and hasattr(obj, "_fields"):  # namedtuple
+        return type(obj)(*(fn(v) for v in obj))
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(fn(v) for v in obj)
+    return None
+
+
 def _to_torch_tree(obj: Any) -> Any:
     import torch
 
-    if isinstance(obj, dict):
-        return {k: _to_torch_tree(v) for k, v in obj.items()}
-    if isinstance(obj, (list, tuple)):
-        return type(obj)(_to_torch_tree(v) for v in obj)
+    mapped = _map_container(obj, _to_torch_tree)
+    if mapped is not None:
+        return mapped
     if isinstance(obj, np.ndarray):
         return torch.from_numpy(np.ascontiguousarray(obj).copy())
     return obj
@@ -49,10 +58,9 @@ def _to_torch_tree(obj: Any) -> Any:
 def _from_torch_tree(obj: Any) -> Any:
     import torch
 
-    if isinstance(obj, dict):
-        return {k: _from_torch_tree(v) for k, v in obj.items()}
-    if isinstance(obj, (list, tuple)):
-        return type(obj)(_from_torch_tree(v) for v in obj)
+    mapped = _map_container(obj, _from_torch_tree)
+    if mapped is not None:
+        return mapped
     if isinstance(obj, torch.Tensor):
         return obj.detach().cpu().numpy()
     return obj

@@ -1,0 +1,152 @@
+"""Epoch-level LR schedules, host-side and checkpointable.
+
+The reference steps torch schedulers once per epoch (reference:
+pretrain.py:238, finetune.py:390-393): CosineAnnealingLR, MultiStepLR,
+ReduceLROnPlateau, or none (reference: finetune.py:190-235,
+optimizer.schedule config key). Here the schedule is a small host object;
+the engine writes schedule.lr into the optimizer's injected hyperparams
+each epoch — the compiled step never recompiles on LR changes.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+
+class LRScheduler:
+    def __init__(self, base_lr: float):
+        self.base_lr = base_lr
+        self.lr = base_lr
+        self.epoch = 0
+
+    def step(self, metric: Optional[float] = None) -> float:
+        """Advance one epoch; returns the new lr."""
+        self.epoch += 1
+        self.lr = self._compute()
+        return self.lr
+
+    def _compute(self) -> float:
+        return self.base_lr
+
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch, "lr": self.lr, "base_lr": self.base_lr}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.epoch = int(d["epoch"])
+        self.lr = float(d["lr"])
+        self.base_lr = float(d.get("base_lr", self.base_lr))
+
+
+class CosineLR(LRScheduler):
+    """CosineAnnealingLR(T_max=num_epochs, eta_min=0), epoch-stepped."""
+
+    def __init__(self, base_lr: float, num_epochs: int):
+        self.num_epochs = max(1, num_epochs)
+        super().__init__(base_lr)
+
+    def _compute(self) -> float:
+        return self.base_lr * 0.5 * (
+            1.0 + math.cos(math.pi * self.epoch / self.num_epochs))
+
+
+class MultiStepLR(LRScheduler):
+    """Decay by gamma at each milestone epoch."""
+
+    def __init__(self, base_lr: float, milestones, gamma: float = 0.1):
+        self.milestones = sorted(int(m) for m in milestones)
+        self.gamma = gamma
+        super().__init__(base_lr)
+
+    def _compute(self) -> float:
+        passed = sum(1 for m in self.milestones if self.epoch >= m)
+        return self.base_lr * (self.gamma ** passed)
+
+
+class PlateauLR(LRScheduler):
+    """ReduceLROnPlateau(min mode): decay when the metric stops improving."""
+
+    def __init__(self, base_lr: float, patience: int = 10,
+                 factor: float = 0.1, eps: float = 1e-8):
+        self.patience = patience
+        self.factor = factor
+        self.eps = eps
+        self.best = float("inf")
+        self.bad_epochs = 0
+        super().__init__(base_lr)
+
+    def step(self, metric: Optional[float] = None) -> float:
+        self.epoch += 1
+        if metric is not None:
+            if metric < self.best - self.eps:
+                self.best = metric
+                self.bad_epochs = 0
+            else:
+                self.bad_epochs += 1
+                if self.bad_epochs > self.patience:
+                    self.lr = self.lr * self.factor
+                    self.bad_epochs = 0
+        return self.lr
+
+    def state_dict(self) -> dict:
+        d = super().state_dict()
+        d.update(best=self.best, bad_epochs=self.bad_epochs)
+        return d
+
+    def load_state_dict(self, d: dict) -> None:
+        super().load_state_dict(d)
+        self.best = float(d.get("best", float("inf")))
+        self.bad_epochs = int(d.get("bad_epochs", 0))
+
+
+def build_scheduler(schedule: str, base_lr: float, *, num_epochs: int = 1,
+                    milestones=(), patience: int = 10) -> LRScheduler:
+    if schedule == "cosine":
+        return CosineLR(base_lr, num_epochs)
+    if schedule == "multi_step":
+        return MultiStepLR(base_lr, milestones)
+    if schedule == "plateau":
+        return PlateauLR(base_lr, patience)
+    if schedule in ("none", None, ""):
+        return LRScheduler(base_lr)
+    raise ValueError(f"Unknown schedule {schedule!r}")
+
+
+def build_optimizer(opt_cfg, lr: float):
+    """ConfigTree optimizer.* -> optax transform with injectable lr.
+
+    Matches torch.optim semantics: SGD(momentum, dampening, nesterov,
+    weight_decay applied to ALL params) or Adam(eps)
+    (reference: pretrain.py:65-77, finetune.py:190-235).
+    """
+    import optax
+
+    opt_type = opt_cfg.get_string("type", "sgd")
+    if opt_type == "sgd":
+        wd = opt_cfg.get_float("weight_decay", 0.0)
+
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(wd) if wd else optax.identity(),
+                optax.sgd(learning_rate,
+                          momentum=opt_cfg.get_float("momentum", 0.9),
+                          nesterov=opt_cfg.get_bool("nesterov", False)),
+            )
+
+        return make(learning_rate=lr)
+    if opt_type == "adam":
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            return optax.adam(learning_rate,
+                              eps=opt_cfg.get_float("eps", 1e-8))
+
+        return make(learning_rate=lr)
+    raise ValueError(f"Unknown optimizer type {opt_type!r}")
+
+
+def set_opt_lr(opt_state, lr: float):
+    """Write a new lr into an inject_hyperparams opt state (host-side)."""
+    import jax.numpy as jnp
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=jnp.asarray(opt_state.hyperparams["learning_rate"]).dtype)
+    return opt_state

@@ -1,0 +1,111 @@
+"""Data pipeline tests: catalogs, readers, loader batching/padding."""
+import numpy as np
+import pytest
+
+from rspnet_tpu.config.tree import ConfigTree
+from rspnet_tpu.data.catalogs import Synthetic, build_catalog
+from rspnet_tpu.data.pipeline import PipelineConfig, VideoDataLoader, build_loader
+from rspnet_tpu.data.video_reader import SyntheticVideoReader, open_video
+
+
+def test_synthetic_reader_deterministic():
+    url = "synthetic://42?frames=32&h=64&w=80&cls=3"
+    r1, r2 = SyntheticVideoReader(url), SyntheticVideoReader(url)
+    f1 = r1.get_batch([0, 5, 31])
+    f2 = r2.get_batch([0, 5, 31])
+    np.testing.assert_array_equal(f1, f2)
+    assert f1.shape == (3, 64, 80, 3) and f1.dtype == np.uint8
+    # motion: the square moves between frames
+    assert np.abs(f1[0].astype(int) - f1[2].astype(int)).max() > 50
+
+
+def test_open_video_dispatch():
+    r = open_video("synthetic://1?frames=8&h=32&w=32&cls=0")
+    assert isinstance(r, SyntheticVideoReader)
+    assert r.num_frames == 8
+
+
+def test_synthetic_catalog():
+    cat = Synthetic(num_samples=20, num_classes=5)
+    assert len(cat) == 20
+    assert cat[7].class_index == 2
+    assert cat[7].video_path.startswith("synthetic://")
+
+
+def test_build_catalog_from_config():
+    cfg = ConfigTree.from_dict({
+        "dataset": {"name": "synthetic", "num_samples": 8, "num_classes": 2}})
+    cat = build_catalog(cfg, "train")
+    assert len(cat) == 8
+
+
+def _loader(train=True, n=10, batch=4, num_clips=1, n_crop=1, **kw):
+    cat = Synthetic(num_samples=n, num_classes=3, num_frames=40,
+                    height=48, width=64)
+    cfg = PipelineConfig(
+        clip_len=8, out_size=32, num_clips=num_clips, batch_size=batch,
+        train=train, num_workers=2, seed=0, n_crop=n_crop, **kw)
+    return VideoDataLoader(cat, cfg)
+
+
+def test_train_loader_shapes():
+    loader = _loader(train=True, n=10, batch=4, num_clips=2)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last: 10 // 4
+    b = batches[0]
+    assert len(b["clips"]) == 2
+    assert b["clips"][0].shape == (4, 8, 32, 32, 3)
+    assert b["clips"][0].dtype == np.uint8
+    assert b["labels"].shape == (4,)
+    assert b["mask"].all()
+
+
+def test_eval_loader_pads_tail():
+    loader = _loader(train=False, n=10, batch=4)
+    batches = list(loader)
+    assert len(batches) == 3  # ceil(10/4), padded
+    assert batches[2]["mask"].tolist() == [True, True, False, False]
+    assert loader.num_valid_samples() == 10
+
+
+def test_eval_multi_crop_concatenates_time():
+    loader = _loader(train=False, n=4, batch=2, n_crop=3)
+    b = next(iter(loader))
+    assert b["clips"][0].shape == (2, 24, 32, 32, 3)  # 3 crops x 8 frames
+
+
+def test_epoch_shuffling_changes_order():
+    loader = _loader(train=True, n=8, batch=8)
+    loader.set_epoch(0)
+    l0 = next(iter(loader))["labels"]
+    loader.set_epoch(1)
+    l1 = next(iter(loader))["labels"]
+    assert sorted(l0.tolist()) == sorted(l1.tolist())
+    assert l0.tolist() != l1.tolist()
+
+
+def test_build_loader_from_config():
+    cfg = ConfigTree.from_dict({
+        "dataset": {"name": "synthetic", "num_samples": 8, "num_classes": 2,
+                    "num_frames": 40, "height": 48, "width": 64},
+        "batch_size": 2,
+        "num_workers": 1,
+        "temporal_transforms": {
+            "size": 8,
+            "strides": [{"stride": 1, "weight": 1}],
+            "validate": {"stride": 1, "n_crop": 1, "final_n_crop": 2},
+            "frame_rate": None,
+        },
+        "spatial_transforms": {"size": 32,
+                               "crop_area": {"min": 0.25, "max": 1.0}},
+        "validate": {"batch_size": 2},
+        "final_validate": {"batch_size": 2},
+    })
+    loader = build_loader(cfg, "train", vid=True, batch_multiplier=2)
+    b = next(iter(loader))
+    assert len(b["clips"]) == 2          # vid -> q/k pair
+    assert b["clips"][0].shape[0] == 4   # 2 * multiplier
+
+    val = build_loader(cfg, "val", final_validate=True)
+    bv = next(iter(val))
+    assert bv["clips"][0].shape[1] == 16  # final_n_crop=2 x 8 frames

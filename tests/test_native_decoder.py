@@ -1,0 +1,77 @@
+"""C++ FFmpeg decoder tests (skipped when the toolchain can't build it)."""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def test_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "t.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25, (64, 48))
+    for t in range(60):
+        f = np.zeros((48, 64, 3), np.uint8)
+        f[:, :, 1] = t * 4
+        w.write(f[..., ::-1])
+    w.release()
+    return path
+
+
+@pytest.fixture(scope="module")
+def native():
+    from rspnet_tpu.native import video_decode
+    if not video_decode.is_available():
+        pytest.skip("native decoder unavailable")
+    return video_decode
+
+
+def test_open_metadata(native, test_video):
+    r = native.RspVideoReader(test_video)
+    assert r.num_frames == 60
+    assert r.fps == pytest.approx(25.0)
+    assert (r.height, r.width) == (48, 64)
+    r.close()
+
+
+def test_get_batch_content_and_order(native, test_video):
+    r = native.RspVideoReader(test_video)
+    idx = [5, 50, 0, 20]  # unsorted on purpose
+    batch = r.get_batch(idx)
+    assert batch.shape == (4, 48, 64, 3)
+    for i, t in enumerate(idx):
+        assert abs(float(batch[i, :, :, 1].mean()) - t * 4) < 10
+    r.close()
+
+
+def test_matches_cv2_backend(native, test_video):
+    from rspnet_tpu.data.video_reader import CvVideoReader
+    r = native.RspVideoReader(test_video)
+    c = CvVideoReader(test_video)
+    idx = [0, 7, 33, 59]
+    diff = np.abs(r.get_batch(idx).astype(int)
+                  - c.get_batch(idx).astype(int)).max()
+    assert diff <= 2  # identical decode, allow colorspace rounding
+    r.close()
+    c.close()
+
+
+def test_backward_then_forward_seek(native, test_video):
+    r = native.RspVideoReader(test_video)
+    b1 = r.get_batch([40, 45])
+    b2 = r.get_batch([1, 2])   # requires backward seek
+    assert abs(float(b2[0, :, :, 1].mean()) - 4) < 10
+    b3 = r.get_batch([55])
+    assert abs(float(b3[0, :, :, 1].mean()) - 220) < 10
+    r.close()
+
+
+def test_missing_file_raises(native):
+    with pytest.raises(IOError):
+        native.RspVideoReader("/nonexistent/video.mp4")
+
+
+def test_pipeline_uses_native_backend(native, test_video):
+    from rspnet_tpu.data.video_reader import open_video
+    r = open_video(test_video)
+    assert type(r).__name__ == "RspVideoReader"
+    r.close()
