@@ -38,8 +38,7 @@ _REGISTRY = {
     "r2plus1d-18": _r2plus1d.r2plus1d_18,
 }
 
-# archs present in the reference registry but built in later milestones
-_PLANNED = {"mfnet", "tsm", "torchvision-resnet18"}
+_PLANNED = set()
 
 
 def available_archs():
@@ -52,7 +51,8 @@ def get_model_class(arch: str, **model_cfg) -> Callable[..., nn.Module]:
     Mirrors the reference dispatch (models/__init__.py:16-75); SLOWFAST*
     archs route through the slowfast sub-registry.
     """
-    if arch.startswith("SLOWFAST") or arch == "slowfast":
+    if (arch == "slowfast" or arch.startswith(("SLOWFAST", "SLOW_", "C2D",
+                                               "I3D"))):
         from . import slowfast
         return slowfast.get_model_class(arch, **model_cfg)
     if arch == "mfnet":
@@ -61,6 +61,11 @@ def get_model_class(arch: str, **model_cfg) -> Callable[..., nn.Module]:
     if arch == "tsm":
         from . import tsm
         return tsm.get_model_class(**model_cfg)
+    if arch == "torchvision-resnet18":
+        from . import video_resnet
+        from functools import partial
+        return partial(video_resnet.r3d_18,
+                       pretrain=model_cfg.get("pretrain", False))
     if arch in _REGISTRY:
         return _REGISTRY[arch]
     raise ValueError(
