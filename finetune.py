@@ -52,6 +52,10 @@ def main(argv=None):
         else best_path
     if ckpt_path and ckpt_path.exists():
         final.load_model_only(ckpt_path)
+    elif args.validate and args.moco_checkpoint:
+        # validate-only on a pretrained backbone (classifier stays random)
+        final.load_moco_checkpoint(args.moco_checkpoint)
+        logger.warning("--validate with --mc: classifier head is untrained")
     else:
         logger.warning("No checkpoint for final validation (%s)", ckpt_path)
     result = final.validate_epoch(final.current_epoch, prefix="final")

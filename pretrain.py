@@ -43,8 +43,8 @@ def main(argv=None):
         engine.load_checkpoint(args.load_model, model_only=True)
 
     if args.validate:
-        logger.info("--validate: running a single statistics epoch")
-        engine.train_epoch(engine.current_epoch)
+        logger.info("--validate: running a single no-grad statistics epoch")
+        engine.validate_epoch()
         return
 
     engine.run()

@@ -27,7 +27,7 @@ from ..framework import CheckpointManager, MeterGroup, load_state
 from ..framework.environment import scale_learning_rate
 from ..framework.lr_schedule import build_optimizer, build_scheduler, set_opt_lr
 from ..moco import (MoCoState, build_moco_model, init_moco_state,
-                    make_sharded_train_step)
+                    make_sharded_eval_step, make_sharded_train_step)
 from ..ops.augment import augment_batch, center_crop_params, sample_train_params
 from ..parallel import create_mesh, replicate_to_mesh, shard_batch
 from ..utils.moco import replace_moco_k_in_config
@@ -180,6 +180,9 @@ class PretrainEngine:
         dt = time.perf_counter() - t_epoch
         logger.info("Epoch %d done in %.1fs (%.1f clips/s)", epoch, dt,
                     samples / max(dt, 1e-9))
+        if self.summary_writer is not None:
+            self.summary_writer.add_scalar("train/clips_per_sec",
+                                           samples / max(dt, 1e-9), epoch)
 
         if self.summary_writer is not None:
             for k in _METER_KEYS:
@@ -187,6 +190,47 @@ class PretrainEngine:
                     f"train/{k}", self.meters[k].avg, epoch)
             self.summary_writer.add_scalar("train/lr", self.scheduler.lr,
                                            epoch)
+
+    def validate_epoch(self) -> dict:
+        """One no-grad statistics epoch (reference: pretrain.py:300-304)."""
+        eval_step = make_sharded_eval_step(self.model, self.moco_cfg,
+                                           self.mesh)
+        meters = MeterGroup(_METER_KEYS)
+        self.train_loader.set_epoch(self.current_epoch)
+        for i, batch in enumerate(self.train_loader):
+            clip_q = shard_batch(self._augment_clip(batch["clips"][0]),
+                                 self.mesh)
+            clip_k = shard_batch(self._augment_clip(batch["clips"][1]),
+                                 self.mesh)
+            self.step_key, sub = jax.random.split(self.step_key)
+            metrics = eval_step(self.state, clip_q, clip_k, sub)
+            meters.update({k: float(v) for k, v in metrics.items()},
+                          n=batch["labels"].shape[0])
+            if self.debug and i >= 2:
+                break
+        logger.info("Validate statistics: %s", meters)
+        return {k: meters[k].avg for k in _METER_KEYS}
+
+    def profile_steps(self, n_steps: int = 5) -> str:
+        """Capture a JAX profiler trace of a few training steps into the
+        run dir (observability; the reference has none, SURVEY.md §5.1)."""
+        trace_dir = str(self.args.run_dir / "profile")
+        it = iter(self.train_loader)
+        batch = next(it)
+        clip_q = shard_batch(self._augment_clip(batch["clips"][0]), self.mesh)
+        clip_k = shard_batch(self._augment_clip(batch["clips"][1]), self.mesh)
+        # warmup/compile outside the trace
+        self.step_key, sub = jax.random.split(self.step_key)
+        self.state, m = self.train_step(self.state, clip_q, clip_k, sub)
+        jax.block_until_ready(m["loss"])
+        with jax.profiler.trace(trace_dir):
+            for _ in range(n_steps):
+                self.step_key, sub = jax.random.split(self.step_key)
+                self.state, m = self.train_step(self.state, clip_q, clip_k,
+                                                sub)
+            jax.block_until_ready(m["loss"])
+        logger.info("Profiler trace written to %s", trace_dir)
+        return trace_dir
 
     def run(self) -> None:
         num_epochs = 1 if self.debug else self.num_epochs

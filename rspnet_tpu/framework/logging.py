@@ -17,7 +17,27 @@ class TqdmHandler(logging.StreamHandler):
             tqdm.write(msg)
             self.flush()
         except Exception:
+            try:
+                super().emit(record)
+            except Exception:
+                pass
+
+    def handleError(self, record):
+        pass
+
+
+class _SafeFileHandler(logging.FileHandler):
+    """Swallows emit errors after interpreter shutdown closes the stream
+    (JAX logs from atexit hooks)."""
+
+    def emit(self, record):
+        try:
             super().emit(record)
+        except Exception:
+            pass
+
+    def handleError(self, record):
+        pass
 
 
 def set_logging_basic_config(
@@ -30,6 +50,6 @@ def set_logging_basic_config(
 
     handlers = [TqdmHandler()]
     if run_dir is not None:
-        handlers.append(logging.FileHandler(Path(run_dir) / filename))
+        handlers.append(_SafeFileHandler(Path(run_dir) / filename))
 
     logging.basicConfig(level=level, format=fmt, handlers=handlers, force=True)

@@ -5,7 +5,8 @@ model factory produces a MultiTaskWrapper; training state and the fused
 train step live in builder.py.
 """
 from .builder import (MoCoConfig, MoCoState, diff_speed_gather,
-                      init_moco_state, make_sharded_train_step,
+                      init_moco_state, make_eval_step,
+                      make_sharded_eval_step, make_sharded_train_step,
                       make_train_step, moco_loss, momentum_update,
                       queue_update, speed_index_sets)
 from .wrapper import MultiTaskWrapper
@@ -42,6 +43,7 @@ def build_moco_model(cfg, dtype=None, axis_name="data"):
 __all__ = [
     "MultiTaskWrapper", "MoCoConfig", "MoCoState", "build_moco_model",
     "init_moco_state", "make_train_step", "make_sharded_train_step",
+    "make_eval_step", "make_sharded_eval_step",
     "momentum_update", "queue_update", "moco_loss", "diff_speed_gather",
     "speed_index_sets",
 ]

@@ -263,6 +263,71 @@ def make_train_step(model, optimizer, cfg: MoCoConfig,
     return step
 
 
+def make_eval_step(model, cfg: MoCoConfig,
+                   axis_name: Optional[str] = "data") -> Callable:
+    """No-grad statistics step for `pretrain.py --validate`
+    (reference: pretrain.py:300-304 runs one epoch without updates).
+
+    Computes the same logits/loss/accuracy metrics as training but mutates
+    NOTHING: no EMA, no BN stat update, no queue write, no optimizer.
+    """
+
+    def apply_eval(params, batch_stats, x):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           x, train=False)
+
+    def step(state: MoCoState, im_q, im_k, rng):
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        im_q_real, im_k_real, im_k_neg = diff_speed_gather(
+            im_q, im_k, rng, cfg)
+
+        k_neg_a, k_neg_m = apply_eval(state.params_k, state.batch_stats_k,
+                                      im_k_neg)
+        k_a, k_m = apply_eval(state.params_k, state.batch_stats_k, im_k_real)
+        q_a, q_m = apply_eval(state.params_q, state.batch_stats_q, im_q_real)
+
+        t = cfg.t
+        l_neg_a = q_a @ state.queue
+        logits1 = jnp.concatenate(
+            [jnp.sum(q_a * k_a, axis=1, keepdims=True), l_neg_a], axis=1) / t
+        logits2 = jnp.concatenate(
+            [jnp.sum(q_a * k_neg_a, axis=1, keepdims=True), l_neg_a],
+            axis=1) / t
+        l_pos_m = jnp.sum(q_m * k_m, axis=1, keepdims=True) / t
+        l_neg_m = jnp.sum(q_m * k_neg_m, axis=1, keepdims=True) / t
+
+        loss, loss_a, loss_m = moco_loss(logits1, logits2, l_pos_m, l_neg_m,
+                                         cfg)
+        labels = jnp.zeros(logits1.shape[0], jnp.int32)
+        acc1_a, acc5_a = accuracy(logits1, labels, topk=(1, 5))
+        acc1_a2, acc5_a2 = accuracy(logits2, labels, topk=(1, 5))
+        acc_m = jnp.mean((l_pos_m > l_neg_m).astype(jnp.float32)) * 100.0
+        metrics = {
+            "loss": loss, "loss_A": loss_a, "loss_M": loss_m,
+            "acc1_A": acc1_a, "acc5_A": acc5_a,
+            "acc1_A_n": acc1_a2, "acc5_A_n": acc5_a2,
+            "acc1_M": acc_m,
+        }
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        return metrics
+
+    return step
+
+
+def make_sharded_eval_step(model, cfg: MoCoConfig, mesh,
+                           axis_name: str = "data") -> Callable:
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    step = make_eval_step(model, cfg, axis_name=axis_name)
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(P(), P(axis_name), P(axis_name), P()),
+                        out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
+
+
 def make_sharded_train_step(model, optimizer, cfg: MoCoConfig, mesh,
                             axis_name: str = "data",
                             donate: bool = True) -> Callable:
