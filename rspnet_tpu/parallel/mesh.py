@@ -16,6 +16,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed() -> None:
+    """Multi-host initialization (replaces the reference's TCP free-port
+    NCCL rendezvous, pretrain.py:278-283, framework/utils/distributed.py).
+
+    On Cloud TPU pods jax.distributed.initialize() autodetects coordinator
+    and process ids from the TPU environment; it must run before any other
+    JAX call. No-op on single-host (including this dev environment).
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("TPU_WORKER_HOSTNAMES"):
+        jax.distributed.initialize()
+
+
 def create_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     """1-D mesh over the first n devices (all by default)."""
     devices = jax.devices()
