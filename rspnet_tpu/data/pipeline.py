@@ -215,6 +215,11 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
     if not train:
         n_crop = tt.get_int("validate.final_n_crop") if final_validate \
             else tt.get_int("validate.n_crop", 1)
+    elif tt.get_bool("force_n_crop", False):
+        # retrieval trains-split extraction uses the final multi-crop
+        # (reference: get_temporal_transform, classification/__init__.py:
+        # 273-280 — force_n_crop -> EvenNCrop(final_n_crop))
+        n_crop = tt.get_int("validate.final_n_crop")
 
     cfg = PipelineConfig(
         clip_len=tt.get_int("size"),
