@@ -71,7 +71,9 @@ class FinetuneEngine:
             cfg.get_string("optimizer.schedule", "none"), self.learning_rate,
             num_epochs=self.num_epochs,
             milestones=cfg.get_list("optimizer.milestones", []),
-            patience=cfg.get_int("optimizer.patience", 10))
+            patience=cfg.get_int("optimizer.patience", 10),
+            # reference finetune cosine floors at lr/1000 (finetune.py:228)
+            eta_min=self.learning_rate / 1000.0)
 
         if build_loader_fn is None:
             from ..data.pipeline import build_loader

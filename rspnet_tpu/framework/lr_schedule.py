@@ -38,14 +38,19 @@ class LRScheduler:
 
 
 class CosineLR(LRScheduler):
-    """CosineAnnealingLR(T_max=num_epochs, eta_min=0), epoch-stepped."""
+    """CosineAnnealingLR(T_max=num_epochs), epoch-stepped.
 
-    def __init__(self, base_lr: float, num_epochs: int):
+    eta_min: 0 for pretrain (reference: pretrain.py:79-82), lr/1000 for
+    finetune (reference: finetune.py:224-228).
+    """
+
+    def __init__(self, base_lr: float, num_epochs: int, eta_min: float = 0.0):
         self.num_epochs = max(1, num_epochs)
+        self.eta_min = eta_min
         super().__init__(base_lr)
 
     def _compute(self) -> float:
-        return self.base_lr * 0.5 * (
+        return self.eta_min + (self.base_lr - self.eta_min) * 0.5 * (
             1.0 + math.cos(math.pi * self.epoch / self.num_epochs))
 
 
@@ -99,9 +104,10 @@ class PlateauLR(LRScheduler):
 
 
 def build_scheduler(schedule: str, base_lr: float, *, num_epochs: int = 1,
-                    milestones=(), patience: int = 10) -> LRScheduler:
+                    milestones=(), patience: int = 10,
+                    eta_min: float = 0.0) -> LRScheduler:
     if schedule == "cosine":
-        return CosineLR(base_lr, num_epochs)
+        return CosineLR(base_lr, num_epochs, eta_min=eta_min)
     if schedule == "multi_step":
         return MultiStepLR(base_lr, milestones)
     if schedule == "plateau":
