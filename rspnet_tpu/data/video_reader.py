@@ -64,18 +64,21 @@ class SyntheticVideoReader(VideoReaderBase):
 
     def get_batch(self, indices) -> np.ndarray:
         indices = np.asarray(indices, dtype=np.int64)
-        out = np.empty((len(indices), self.height, self.width, 3), np.uint8)
+        n = len(indices)
         size = max(self.height, self.width) // 6
-        for n, t in enumerate(indices):
-            frame = self._bg.copy()
-            # square position at time t (bounces off walls via reflection)
-            pos = self._start + self._vel * (float(t) / self.num_frames) * 0.8
-            pos = np.abs(np.mod(pos, 2.0) - 1.0)  # reflect into [0, 1]
-            cy = int(pos[0] * (self.height - size))
-            cx = int(pos[1] * (self.width - size))
-            frame[cy:cy + size, cx:cx + size] = (
-                200 + (t % 3) * 10, 180, 60 + self.cls * 15)
-            out[n] = frame
+        # vectorized: one broadcast of the background, then per-frame square
+        out = np.broadcast_to(self._bg, (n, self.height, self.width, 3)).copy()
+        # square position at time t (bounces off walls via reflection)
+        ts = indices.astype(np.float64)[:, None]
+        pos = self._start + self._vel * (ts / self.num_frames) * 0.8
+        pos = np.abs(np.mod(pos, 2.0) - 1.0)      # reflect into [0, 1]
+        cy = (pos[:, 0] * (self.height - size)).astype(int)
+        cx = (pos[:, 1] * (self.width - size)).astype(int)
+        colors = np.stack([200 + (indices % 3) * 10,
+                           np.full(n, 180),
+                           np.full(n, 60 + self.cls * 15)], axis=1)
+        for i in range(n):
+            out[i, cy[i]:cy[i] + size, cx[i]:cx[i] + size] = colors[i]
         return out
 
 

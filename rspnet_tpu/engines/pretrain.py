@@ -277,7 +277,7 @@ class PretrainEngine:
             batch_stats_q=m["batch_stats_q"],
             batch_stats_k=m["batch_stats_k"],
             queue=jnp.asarray(m["queue"]),
-            queue_ptr=jnp.asarray(m["queue_ptr"]))
+            queue_ptr=jnp.asarray(m["queue_ptr"]).reshape(()).astype(jnp.int32))
         if not model_only:
             self.state = self.state._replace(opt_state=ckpt["optimizer"])
             self.scheduler.load_state_dict(ckpt["scheduler"])

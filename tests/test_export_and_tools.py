@@ -112,3 +112,28 @@ def test_build_kinetics_subset(tmp_path):
     bks.build_subset(full, dest, cats)
     assert (dest / "bbb").is_symlink()
     assert (dest / "bbb" / "v.mp4").exists()
+
+
+def test_pretrain_continue_resumes(tmp_path):
+    """--continue picks up config + checkpoint and resumes at the next epoch
+    (reference: arguments.py:59-85)."""
+    import pretrain as pretrain_cli
+    from rspnet_tpu.framework import load_state
+
+    exp = tmp_path / "exp_cont"
+    common = [
+        "-c", str(REPO / "config/pretrain/resnet18.jsonnet"),
+        "-e", str(exp), "--seed", "4",
+        "-x", _SYNTH + 'moco+: {k: 32, dim: 8}, '
+        'temporal_transforms+: {_size: 8}, num_epochs: "2"}',
+    ]
+    # first run: only epoch 1 (debug caps at 1)
+    pretrain_cli.main(common + ["-d"])
+    assert load_state(exp / "checkpoint.pth.tar")["epoch"] == 1
+
+    # --continue without -c: reuses run_0's config.json and the checkpoint,
+    # runs the remaining epoch
+    pretrain_cli.main(["-e", str(exp), "--seed", "4", "--continue"])
+    ckpt = load_state(exp / "checkpoint.pth.tar")
+    assert ckpt["epoch"] == 2
+    assert ckpt["scheduler"]["epoch"] == 2
