@@ -73,7 +73,10 @@ def export_reference_checkpoint(src: Path, dst: Path, arch: str = None) -> dict:
                                            f"{enc}.{head}"))
 
     flat["queue"] = np.asarray(m["queue"])
-    flat["queue_ptr"] = np.asarray([m["queue_ptr"]], dtype=np.int64)
+    # reference registers queue_ptr as torch.zeros(1) (builder:361): shape
+    # must be exactly (1,) regardless of how ours was serialized
+    flat["queue_ptr"] = np.reshape(
+        np.asarray(m["queue_ptr"], dtype=np.int64), (1,))
 
     out = {
         "epoch": cp.get("epoch", 0),

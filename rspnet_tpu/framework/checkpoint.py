@@ -51,7 +51,10 @@ def _to_torch_tree(obj: Any) -> Any:
     if mapped is not None:
         return mapped
     if isinstance(obj, np.ndarray):
-        return torch.from_numpy(np.ascontiguousarray(obj).copy())
+        # np.array(copy=True) preserves 0-d shapes; np.ascontiguousarray
+        # would promote scalars to shape (1,), corrupting every 0-d leaf
+        # (queue_ptr, step counters, opt-state hyperparams)
+        return torch.from_numpy(np.array(obj, copy=True, order="C"))
     return obj
 
 

@@ -136,8 +136,6 @@ def queue_update(queue, queue_ptr, keys):
     """Ring-buffer enqueue of (already globally gathered) keys
     (reference :345-359). keys: [global_B, dim]."""
     batch = keys.shape[0]
-    queue_ptr = jnp.reshape(queue_ptr, ())  # tolerate [1]-shaped ptrs from
-    # torch-serialized checkpoints (reference stores queue_ptr as [1])
     queue = jax.lax.dynamic_update_slice(
         queue, keys.T.astype(queue.dtype), (0, queue_ptr))
     queue_ptr = (queue_ptr + batch) % queue.shape[1]

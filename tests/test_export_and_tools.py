@@ -137,3 +137,14 @@ def test_pretrain_continue_resumes(tmp_path):
     ckpt = load_state(exp / "checkpoint.pth.tar")
     assert ckpt["epoch"] == 2
     assert ckpt["scheduler"]["epoch"] == 2
+
+
+def test_export_queue_ptr_shape(pretrain_run, tmp_path):
+    """Reference registers queue_ptr as torch.zeros(1): exported shape must
+    be exactly (1,)."""
+    import torch
+    from rspnet_tpu.engines.export import export_reference_checkpoint
+    dst = tmp_path / "qp.pth.tar"
+    export_reference_checkpoint(pretrain_run / "checkpoint.pth.tar", dst)
+    cp = torch.load(str(dst), weights_only=False)
+    assert tuple(cp["model"]["queue_ptr"].shape) == (1,)

@@ -189,3 +189,14 @@ def test_binary_accuracy():
 def test_scale_learning_rate():
     assert scale_learning_rate(0.1, world_size=8, batch_size=64) == pytest.approx(0.8)
     assert scale_learning_rate(0.1, world_size=1, batch_size=64) == pytest.approx(0.1)
+
+
+def test_checkpoint_preserves_0d_shapes(tmp_path):
+    """0-d leaves (queue_ptr, step counters, injected hyperparams) must
+    survive the torch round-trip without promotion to shape (1,)."""
+    state = {"ptr": np.zeros((), np.int32), "lr": np.float32(0.1),
+             "vec": np.ones((1,), np.float32)}
+    save_state(state, tmp_path / "s.pth.tar")
+    loaded = load_state(tmp_path / "s.pth.tar")
+    assert loaded["ptr"].shape == ()
+    assert loaded["vec"].shape == (1,)
