@@ -19,6 +19,9 @@ def main(argv=None):
                                       set_logging_basic_config, ulimit_n_max)
     from rspnet_tpu.framework.code_pack import pack_code
 
+    from rspnet_tpu.parallel import init_distributed
+    init_distributed()  # multi-host no-op on single host
+
     args = Args.from_args(argv)
     args.resolve_continue()
     args.make_run_dir()

@@ -66,17 +66,20 @@ class VideoDataLoader:
         self.cfg = cfg
         self.epoch = 0
         self._drop_last = cfg.drop_last if cfg.drop_last is not None else cfg.train
-        self._temporal = self._build_temporal()
+        self._build_temporal(None)  # validate config eagerly
 
     # -- temporal transform selection (reference get_temporal_transform,
-    #    datasets/classification/__init__.py:268-313)
-    def _build_temporal(self):
+    #    datasets/classification/__init__.py:268-313). Built PER SAMPLE with
+    #    that sample's RNG — worker threads must not share one stateful
+    #    transform (a shared np.random.Generator is not thread-safe and the
+    #    rebinding pattern races).
+    def _build_temporal(self, rng):
         c = self.cfg
         if c.train and not c.force_n_crop:
             if c.temporal_type == "clip":
-                return T.RandomStrideCrop(c.clip_len, c.strides)
+                return T.RandomStrideCrop(c.clip_len, c.strides, rng=rng)
             if c.temporal_type == "cover":
-                return T.Cover(c.clip_len)
+                return T.Cover(c.clip_len, rng=rng)
             raise ValueError(f"Unknown temporal type {c.temporal_type!r}")
         if c.temporal_type == "clip":
             return T.EvenNCrop(c.clip_len, stride=c.eval_stride, n=c.n_crop)
@@ -110,10 +113,8 @@ class VideoDataLoader:
             if c.frame_rate is not None:
                 frame_indices = T.resample_index(frame_indices, vr.fps,
                                                  c.frame_rate)
-            # rebind transform RNG for reproducibility per (epoch, index)
-            if hasattr(self._temporal, "rng"):
-                self._temporal.rng = rng
-            clip_indices = [self._temporal(frame_indices)
+            temporal = self._build_temporal(rng)
+            clip_indices = [temporal(frame_indices)
                             for _ in range(c.num_clips)]
             all_idx = np.concatenate(clip_indices)
             frames = vr.get_batch(all_idx)  # one decode pass (reference :75)

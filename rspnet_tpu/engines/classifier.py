@@ -56,6 +56,10 @@ def make_classifier_train_step(model, optimizer, *, n_crop: int = 1,
 
     def step(state: TrainState, clips, labels, rng):
         train_mode = not only_train_fc  # linear probe pins BN to eval
+        if axis_name is not None:
+            # independent dropout masks per replica (matches the
+            # reference's per-GPU RNG streams)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
         def loss_fn(params):
             B = clips.shape[0]
@@ -109,12 +113,15 @@ def make_classifier_train_step(model, optimizer, *, n_crop: int = 1,
 
 
 def make_classifier_eval_step(model, *, n_crop: int = 1,
-                              axis_name: Optional[str] = "data") -> Callable:
+                              axis_name: Optional[str] = "data",
+                              return_logits: bool = False) -> Callable:
     """eval(state, clips, labels, mask) -> metrics dict with masked sums.
 
     Returns SUMS (loss_sum, correct1, correct5, count) so the host can
     aggregate exactly over padded validation tails (replaces the reference's
-    num_valid_samples cutting, finetune.py:113-119).
+    num_valid_samples cutting, finetune.py:113-119). return_logits adds the
+    all-gathered [B_global, C] logits — skip it in production validation to
+    keep the eval step free of interconnect traffic.
     """
 
     def step(state: TrainState, clips, labels, mask):
@@ -142,13 +149,14 @@ def make_classifier_eval_step(model, *, n_crop: int = 1,
         count = jnp.sum(maskf)
 
         sums = {"loss_sum": loss_sum, "correct1": correct1,
-                "correct5": correct5, "count": count,
-                "logits": out}
+                "correct5": correct5, "count": count}
         if axis_name is not None:
             for k in ("loss_sum", "correct1", "correct5", "count"):
                 sums[k] = jax.lax.psum(sums[k], axis_name)
-            sums["logits"] = jax.lax.all_gather(out, axis_name, axis=0,
-                                                tiled=True)
+        if return_logits:
+            sums["logits"] = (jax.lax.all_gather(out, axis_name, axis=0,
+                                                 tiled=True)
+                              if axis_name is not None else out)
         return sums
 
     return step

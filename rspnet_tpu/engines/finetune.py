@@ -22,7 +22,8 @@ from ..models import get_model_class
 from ..moco import MultiTaskWrapper
 from ..ops.augment import augment_batch, eval_preprocess, center_crop_params, \
     sample_train_params
-from ..parallel import create_mesh, replicate_to_mesh, shard_batch
+from ..parallel import (create_mesh, mesh_for_args,
+                        replicate_to_mesh, shard_batch)
 from .classifier import (TrainState, init_train_state,
                          make_classifier_eval_step,
                          make_classifier_train_step, shard_classifier_step)
@@ -55,7 +56,7 @@ class FinetuneEngine:
         self.debug = bool(getattr(args, "debug", False))
         self.final_validate = final_validate
 
-        self.mesh = create_mesh()
+        self.mesh = mesh_for_args(args)
         self.world_size = self.mesh.shape["data"]
         on_tpu = jax.devices()[0].platform == "tpu"
         self.model, self.model_type = build_classifier_model(

@@ -29,7 +29,8 @@ from ..framework.lr_schedule import build_optimizer, build_scheduler, set_opt_lr
 from ..moco import (MoCoState, build_moco_model, init_moco_state,
                     make_sharded_eval_step, make_sharded_train_step)
 from ..ops.augment import augment_batch, center_crop_params, sample_train_params
-from ..parallel import create_mesh, replicate_to_mesh, shard_batch
+from ..parallel import (create_mesh, mesh_for_args,
+                        replicate_to_mesh, shard_batch)
 from ..utils.moco import replace_moco_k_in_config
 
 logger = logging.getLogger(__name__)
@@ -44,7 +45,7 @@ class PretrainEngine:
         self.cfg = cfg
         self.debug = bool(getattr(args, "debug", False))
 
-        self.mesh = create_mesh()
+        self.mesh = mesh_for_args(args)
         self.world_size = self.mesh.shape["data"]
         logger.info("Mesh: %d device(s) on %s", self.world_size,
                     jax.devices()[0].platform)
@@ -83,7 +84,8 @@ class PretrainEngine:
 
         self.t_load = cfg.get_int("temporal_transforms.size")
         self.size = cfg.get_int("spatial_transforms.size")
-        t_real = (self.t_load // self.moco_cfg.diff_speed[0]
+        from ..moco.builder import real_clip_len
+        t_real = (real_clip_len(self.t_load, self.moco_cfg.diff_speed)
                   if self.moco_cfg.diff_speed else self.t_load)
         self.state: MoCoState = init_moco_state(
             self.model, self.moco_cfg, self.optimizer,
@@ -155,6 +157,10 @@ class PretrainEngine:
         n_batches = len(self.train_loader)
         t_epoch = time.perf_counter()
         samples = 0
+        # keep EVERY step's metrics as device scalars (no sync); one host
+        # fetch at epoch end gives the exact full-epoch averages the
+        # reference computes per-iteration (pretrain.py:169-195)
+        pending = []
 
         for i, batch in enumerate(self.train_loader):
             clip_q = self._augment_clip(batch["clips"][0])
@@ -164,17 +170,23 @@ class PretrainEngine:
             self.step_key, sub = jax.random.split(self.step_key)
             self.state, metrics = self.train_step(self.state, clip_q,
                                                   clip_k, sub)
+            pending.append(metrics)
             samples += batch["labels"].shape[0]
 
             if i % self.log_interval == 0:
+                # the only mid-epoch device sync, like the reference's
+                # log-late pattern (pretrain.py:177-185)
                 host = {k: float(v) for k, v in metrics.items()}
-                self.meters.update(host, n=self.log_interval)
                 logger.info(
                     "Epoch %d [%d/%d] %s lr=%.5f", epoch, i, n_batches,
                     "\t".join(f"{k}={v:.4f}" for k, v in host.items()),
                     self.scheduler.lr)
             if self.debug and i >= 2:
                 break
+
+        for metrics in pending:
+            self.meters.update({k: float(v) for k, v in metrics.items()},
+                               n=1)
 
         jax.block_until_ready(self.state.step)
         dt = time.perf_counter() - t_epoch

@@ -20,7 +20,8 @@ import numpy as np
 from ..config import ConfigTree
 from ..framework import load_state
 from ..ops.augment import eval_preprocess
-from ..parallel import create_mesh, replicate_to_mesh, shard_batch
+from ..parallel import (create_mesh, mesh_for_args,
+                        replicate_to_mesh, shard_batch)
 from .classifier import init_train_state
 from .finetune import build_classifier_model
 from .transfer import load_pretrained_encoder, merge_encoder_into
@@ -35,7 +36,7 @@ class RetrievalEngine:
         self.args = args
         self.cfg = cfg
         self.debug = bool(getattr(args, "debug", False))
-        self.mesh = create_mesh()
+        self.mesh = mesh_for_args(args)
         self.world_size = self.mesh.shape["data"]
 
         on_tpu = jax.devices()[0].platform == "tpu"

@@ -89,7 +89,7 @@ class VisualizationEngine:
         self.arch = cfg.get_string("model.arch")
         self.size = cfg.get_int("spatial_transforms.size")
         self.clip_len = (cfg.get_int("temporal_transforms.size")
-                         // (self.moco_cfg.diff_speed[0]
+                         // (max(self.moco_cfg.diff_speed)
                              if self.moco_cfg.diff_speed else 1))
 
         if build_loader_fn is None:

@@ -85,13 +85,28 @@ def momentum_update(params_q, params_k, m: float):
         lambda k, q: k * m + q * (1.0 - m), params_k, params_q)
 
 
+def real_clip_len(T: int, diff_speed: Sequence[int]) -> int:
+    """Static network clip length: T // max(diff_speed).
+
+    The reference's per-step T//s varies with the sampled speed (GPU-eager
+    only); XLA needs one static length, so every speed emits the window of
+    the FASTEST speed's length (all slower speeds have >= that many frames).
+    """
+    if not diff_speed:
+        raise ValueError(
+            "moco.diff_speed must be non-empty: the dual-speed builder "
+            "requires at least one speed (the reference asserts the same, "
+            "builder:334)")
+    return T // max(diff_speed)
+
+
 def speed_index_sets(T: int, diff_speed: Sequence[int]) -> jnp.ndarray:
     """Precomputed [n_speeds, T_real] temporal index table.
 
-    Row i holds arange(0, T, diff_speed[i])[:T_real]; the normal-speed window
-    is arange(T)[:T_real]. T_real = T // diff_speed[0] (static).
+    Row i holds arange(0, T, diff_speed[i])[:T_real]; T_real =
+    T // max(diff_speed) so every row is full length.
     """
-    t_real = T // diff_speed[0]
+    t_real = real_clip_len(T, diff_speed)
     rows = [jnp.arange(0, T, s)[:t_real] for s in diff_speed]
     return jnp.stack(rows)
 
@@ -105,7 +120,7 @@ def diff_speed_gather(im_q, im_k, key, cfg: MoCoConfig):
     *opposite* speed of its query.
     """
     B, T = im_q.shape[0], im_q.shape[1]
-    t_real = T // cfg.diff_speed[0]
+    t_real = real_clip_len(T, cfg.diff_speed)
     key_perm, key_speed = jax.random.split(key)
 
     # which samples get speed-2 (fast) treatment: random half of the batch

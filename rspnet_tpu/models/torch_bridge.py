@@ -170,6 +170,8 @@ KEY_MAPPERS = {
     "resnet34": lambda: _resnet_mapping((3, 4, 6, 3)),
     "resnet50": lambda: _resnet_mapping((3, 4, 6, 3), bottleneck=True),
     "resnet101": lambda: _resnet_mapping((3, 4, 23, 3), bottleneck=True),
+    "resnet152": lambda: _resnet_mapping((3, 8, 36, 3), bottleneck=True),
+    "resnet200": lambda: _resnet_mapping((3, 24, 36, 3), bottleneck=True),
     "s3dg": lambda: _s3dg_mapping(True),
     "s3d": lambda: _s3dg_mapping(False),
     "r2plus1d-vcop": lambda: _r2plus1d_mapping((1, 1, 1, 1)),
@@ -203,6 +205,11 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray], arch: str,
     ``state_dict`` values must already be numpy (framework.checkpoint.load_state
     produces that). num_batches_tracked entries are ignored.
     """
+    if arch not in KEY_MAPPERS:
+        raise NotImplementedError(
+            f"No torch checkpoint mapping for arch {arch!r} (the reference "
+            f"publishes no checkpoints for it). Mapped archs: "
+            f"{sorted(KEY_MAPPERS)}")
     mapping = KEY_MAPPERS[arch]()
     params: dict = {}
     batch_stats: dict = {}
@@ -223,6 +230,11 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray], arch: str,
 def flax_to_torch(variables: dict, arch: str) -> Dict[str, np.ndarray]:
     """Flax variables {'params':..., 'batch_stats':...} -> torch state dict."""
     import jax
+
+    if arch not in KEY_MAPPERS:
+        raise NotImplementedError(
+            f"No torch checkpoint mapping for arch {arch!r}; mapped archs: "
+            f"{sorted(KEY_MAPPERS)}")
 
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     stats = jax.tree_util.tree_map(np.asarray,

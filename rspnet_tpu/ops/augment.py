@@ -118,9 +118,16 @@ def sample_train_params(
     flip with prob h_flip, optional blur (aug_plus).
     """
     boxes = np.zeros((batch_size, 4), dtype=np.float32)
-    for b in range(batch_size):
-        h, w = source_hw[b] if len(source_hw) > 1 else source_hw[0]
-        boxes[b] = _sample_crop_box(rng, h, w, crop_area)
+    if crop_area == (1.0, 1.0):
+        # identity fast path: callers with pre-cropped inputs (the engines)
+        # skip the per-sample rejection sampling entirely
+        for b in range(batch_size):
+            h, w = source_hw[b] if len(source_hw) > 1 else source_hw[0]
+            boxes[b] = (0, 0, h, w)
+    else:
+        for b in range(batch_size):
+            h, w = source_hw[b] if len(source_hw) > 1 else source_hw[0]
+            boxes[b] = _sample_crop_box(rng, h, w, crop_area)
 
     flip = rng.random(batch_size) < h_flip
     gray = rng.random(batch_size) < gray_p

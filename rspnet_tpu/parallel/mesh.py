@@ -24,11 +24,18 @@ def init_distributed() -> None:
     and process ids from the TPU environment; it must run before any other
     JAX call. No-op on single-host (including this dev environment).
     """
+    import logging
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
-            os.environ.get("TPU_WORKER_HOSTNAMES"):
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return  # single-host (TPU_* vars alone are not a reliable signal:
+        # single-chip images set several of them)
+    try:
         jax.distributed.initialize()
+    except Exception as e:  # never break a launch over cluster discovery
+        logging.getLogger(__name__).warning(
+            "jax.distributed.initialize failed (%s); continuing single-host",
+            e)
 
 
 def create_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -37,6 +44,17 @@ def create_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
+
+
+def mesh_for_args(args, axis: str = "data") -> Mesh:
+    """Mesh honoring --ws/--world-size: min(ws, available devices)
+    (the reference spawns exactly world_size workers, pretrain.py:336;
+    here ws caps the data-parallel width)."""
+    ws = getattr(args, "world_size", None)
+    n = jax.device_count()
+    if ws:
+        n = min(int(ws), n)
+    return create_mesh(n, axis=axis)
 
 
 def data_parallel_specs(mesh: Mesh, axis: str = "data"):

@@ -61,7 +61,8 @@ def test_multicrop_eval_averages_logits():
     state = init_train_state(m, optax.identity(), KEY, (1, 4, 32, 32, 3))
     n_crop = 3
     eval_step = jax.jit(make_classifier_eval_step(m, n_crop=n_crop,
-                                                  axis_name=None))
+                                                  axis_name=None,
+                                                  return_logits=True))
     x = jax.random.normal(KEY, (2, n_crop * 4, 32, 32, 3))
     labels = jnp.array([1, 2])
     mask = jnp.array([True, True])

@@ -243,3 +243,25 @@ def test_sharded_matches_single_replica_loss():
     _, m1 = step1(state1, im_q, im_k, KEY)
     # both runs see the same data; losses should be the same scale
     assert abs(float(m8["loss"]) - float(m1["loss"])) < 1.0
+
+
+def test_diff_speed_multi_choice():
+    """Multi-speed configs ([4,2,1]) must compile with static shapes and
+    keep the same-speed/opposite-speed pairing per sample."""
+    cfg = MoCoConfig(diff_speed=(4, 2, 1))
+    B, T = 4, 64
+    base = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.float32)[None, :, None, None, None],
+        (B, T, 1, 1, 1))
+    q, k, k_neg = diff_speed_gather(base, base + 1000.0, KEY, cfg)
+    assert q.shape == (B, 16, 1, 1, 1)  # T // max(diff_speed)
+    for b in range(B):
+        q_idx = np.asarray(q[b, :, 0, 0, 0]).astype(int)
+        k_idx = (np.asarray(k[b, :, 0, 0, 0]) - 1000).astype(int)
+        np.testing.assert_array_equal(q_idx, k_idx)
+
+
+def test_diff_speed_empty_raises():
+    from rspnet_tpu.moco.builder import real_clip_len
+    with pytest.raises(ValueError, match="non-empty"):
+        real_clip_len(32, ())
