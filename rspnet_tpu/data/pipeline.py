@@ -51,6 +51,86 @@ class PipelineConfig:
     num_workers: int = 4
     seed: int = 0
     drop_last: Optional[bool] = None    # default: train
+    # process workers sidestep the GIL for Python-heavy sample paths;
+    # threads suffice for real video (C decode releases the GIL)
+    use_processes: bool = False
+
+
+
+def _sample_seed(seed: int, epoch: int, k: int) -> int:
+    return hash((seed, epoch, k)) & 0x7FFFFFFF
+
+
+def _build_temporal_for(cfg: "PipelineConfig", rng):
+    c = cfg
+    if c.train and not c.force_n_crop:
+        if c.temporal_type == "clip":
+            return T.RandomStrideCrop(c.clip_len, c.strides, rng=rng)
+        if c.temporal_type == "cover":
+            return T.Cover(c.clip_len, rng=rng)
+        raise ValueError(f"Unknown temporal type {c.temporal_type!r}")
+    if c.temporal_type == "clip":
+        return T.EvenNCrop(c.clip_len, stride=c.eval_stride, n=c.n_crop)
+    if c.temporal_type == "cover":
+        return T.Cover(c.clip_len, n_crop=c.n_crop)
+    raise ValueError(f"Unknown temporal type {c.temporal_type!r}")
+
+
+def _load_one(catalog, cfg: "PipelineConfig", index: int,
+              rng: np.random.Generator):
+    """Decode + temporal select + crop + resize for one sample (runs in a
+    worker thread or process)."""
+    import cv2
+    c = cfg
+    sample = catalog[index]
+    with open_video(sample.video_path) as vr:
+        num_frames = vr.num_frames
+        if num_frames <= 0:
+            raise IOError(f"Empty video: {sample.video_path}")
+        frame_indices = np.arange(num_frames)
+        if c.frame_rate is not None:
+            frame_indices = T.resample_index(frame_indices, vr.fps,
+                                             c.frame_rate)
+        temporal = _build_temporal_for(c, rng)
+        clip_indices = [temporal(frame_indices) for _ in range(c.num_clips)]
+        all_idx = np.concatenate(clip_indices)
+        frames = vr.get_batch(all_idx)  # one decode pass (reference :75)
+
+    clips = []
+    ofs = 0
+    S = c.out_size
+    for ci in clip_indices:
+        clip = frames[ofs:ofs + len(ci)]
+        ofs += len(ci)
+        h, w = clip.shape[1:3]
+        if c.train:
+            i, j, bh, bw = _sample_crop_box(rng, h, w, c.crop_area)
+        else:
+            i, j, bh, bw = _center_max_box(h, w, 1.0)
+        cropped = clip[:, i:i + bh, j:j + bw]
+        out = np.empty((cropped.shape[0], S, S, 3), np.uint8)
+        for t in range(cropped.shape[0]):
+            out[t] = cv2.resize(cropped[t], (S, S),
+                                interpolation=cv2.INTER_LINEAR)
+        clips.append(out)
+    return clips, sample.class_index
+
+
+# -- multiprocessing support --------------------------------------------------
+# one (catalog, cfg, indices, epoch) snapshot per worker process; a fresh
+# pool is created per epoch so the snapshot stays consistent
+_PROC_STATE: dict = {}
+
+
+def _proc_init(catalog, cfg, indices, epoch):
+    _PROC_STATE["args"] = (catalog, cfg, indices, epoch)
+
+
+def _proc_job(k: int):
+    catalog, cfg, indices, epoch = _PROC_STATE["args"]
+    idx = int(indices[k % len(indices)])
+    rng = np.random.default_rng(_sample_seed(cfg.seed, epoch, k))
+    return _load_one(catalog, cfg, idx, rng), k < len(indices)
 
 
 class Batch(Tuple):
@@ -74,18 +154,7 @@ class VideoDataLoader:
     #    transform (a shared np.random.Generator is not thread-safe and the
     #    rebinding pattern races).
     def _build_temporal(self, rng):
-        c = self.cfg
-        if c.train and not c.force_n_crop:
-            if c.temporal_type == "clip":
-                return T.RandomStrideCrop(c.clip_len, c.strides, rng=rng)
-            if c.temporal_type == "cover":
-                return T.Cover(c.clip_len, rng=rng)
-            raise ValueError(f"Unknown temporal type {c.temporal_type!r}")
-        if c.temporal_type == "clip":
-            return T.EvenNCrop(c.clip_len, stride=c.eval_stride, n=c.n_crop)
-        if c.temporal_type == "cover":
-            return T.Cover(c.clip_len, n_crop=c.n_crop)
-        raise ValueError(f"Unknown temporal type {c.temporal_type!r}")
+        return _build_temporal_for(self.cfg, rng)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -102,41 +171,7 @@ class VideoDataLoader:
 
     # -- per-sample work (worker thread) ------------------------------------
     def _load_sample(self, index: int, rng: np.random.Generator):
-        import cv2
-        c = self.cfg
-        sample = self.catalog[index]
-        with open_video(sample.video_path) as vr:
-            num_frames = vr.num_frames
-            if num_frames <= 0:
-                raise IOError(f"Empty video: {sample.video_path}")
-            frame_indices = np.arange(num_frames)
-            if c.frame_rate is not None:
-                frame_indices = T.resample_index(frame_indices, vr.fps,
-                                                 c.frame_rate)
-            temporal = self._build_temporal(rng)
-            clip_indices = [temporal(frame_indices)
-                            for _ in range(c.num_clips)]
-            all_idx = np.concatenate(clip_indices)
-            frames = vr.get_batch(all_idx)  # one decode pass (reference :75)
-
-        clips = []
-        ofs = 0
-        S = c.out_size
-        for ci in clip_indices:
-            clip = frames[ofs:ofs + len(ci)]
-            ofs += len(ci)
-            h, w = clip.shape[1:3]
-            if c.train:
-                i, j, bh, bw = _sample_crop_box(rng, h, w, c.crop_area)
-            else:
-                i, j, bh, bw = _center_max_box(h, w, 1.0)
-            cropped = clip[:, i:i + bh, j:j + bw]
-            out = np.empty((cropped.shape[0], S, S, 3), np.uint8)
-            for t in range(cropped.shape[0]):
-                out[t] = cv2.resize(cropped[t], (S, S),
-                                    interpolation=cv2.INTER_LINEAR)
-            clips.append(out)
-        return clips, sample.class_index
+        return _load_one(self.catalog, self.cfg, index, rng)
 
     # -- iteration ----------------------------------------------------------
     def _epoch_indices(self) -> np.ndarray:
@@ -152,14 +187,27 @@ class VideoDataLoader:
         B = c.batch_size
         n_batches = len(self)
 
-        def job(k: int):
-            idx = int(indices[k % len(indices)])
-            rng = np.random.default_rng(
-                (self.cfg.seed, self.epoch, k).__hash__() & 0x7FFFFFFF)
-            return self._load_sample(idx, rng), k < len(indices)
+        if c.use_processes:
+            import functools
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            # fork: workers inherit catalog/cfg cheaply (matches the
+            # reference's fork context, classification/__init__.py:139-147)
+            pool_cls = functools.partial(
+                ProcessPoolExecutor, mp_context=mp.get_context("fork"),
+                initializer=_proc_init,
+                initargs=(self.catalog, c, indices, self.epoch))
+            job = _proc_job
+        else:
+            def job(k: int):
+                idx = int(indices[k % len(indices)])
+                rng = np.random.default_rng(
+                    _sample_seed(c.seed, self.epoch, k))
+                return self._load_sample(idx, rng), k < len(indices)
+            pool_cls = ThreadPoolExecutor
 
         total = n_batches * B
-        with ThreadPoolExecutor(max_workers=max(1, c.num_workers)) as pool:
+        with pool_cls(max_workers=max(1, c.num_workers)) as pool:
             depth = max(2 * c.num_workers, B)
             futures = {k: pool.submit(job, k)
                        for k in range(min(depth, total))}
@@ -240,6 +288,7 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
         train=train,
         num_workers=cfg_tree.get_int("num_workers", 4),
         seed=cfg_tree.get_int("seed", 0),
+        use_processes=cfg_tree.get_bool("use_process_workers", False),
     )
     catalog = catalog or build_catalog(cfg_tree, split)
     return VideoDataLoader(catalog, cfg)

@@ -109,3 +109,25 @@ def test_build_loader_from_config():
     val = build_loader(cfg, "val", final_validate=True)
     bv = next(iter(val))
     assert bv["clips"][0].shape[1] == 16  # final_n_crop=2 x 8 frames
+
+
+def test_process_mode_matches_thread_mode():
+    """use_processes=True must produce the exact same epoch as threads
+    (same per-sample seeds)."""
+    cat = Synthetic(num_samples=8, num_classes=3, num_frames=40,
+                    height=48, width=64)
+
+    def epoch(procs):
+        cfg = PipelineConfig(clip_len=8, out_size=32, num_clips=2,
+                             batch_size=4, train=True, num_workers=3,
+                             seed=5, use_processes=procs)
+        ld = VideoDataLoader(cat, cfg)
+        ld.set_epoch(1)
+        return list(ld)
+
+    a, b = epoch(False), epoch(True)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["labels"], y["labels"])
+        for cx, cy in zip(x["clips"], y["clips"]):
+            np.testing.assert_array_equal(cx, cy)
