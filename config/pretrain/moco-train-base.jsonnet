@@ -26,7 +26,8 @@ local datasets = import '../lib/datasets.libsonnet';
     m: 0.999,
     t: 0.07,
     mlp: false,
-    // [] disables dual-speed; [2] = 2x; [4] = 4x; [4,2,1] = random choice.
+    // [2] = 2x; [4] = 4x; [4,2,1] = random choice per step. Must be
+    // non-empty (the reference's builder asserts the same).
     diff_speed: [2],
     aug_plus: false,
     fc_type: 'linear',  // linear | mlp | conv

@@ -51,16 +51,22 @@ def main(argv=None):
     # final_n_crop loaders)
     final = FinetuneEngine(args, cfg, final_validate=True)
     best_path = args.experiment_dir / "model_best.pth.tar"
-    ckpt_path = args.load_checkpoint if args.validate and args.load_checkpoint \
-        else best_path
-    if ckpt_path and ckpt_path.exists():
-        final.load_model_only(ckpt_path)
+    if args.validate and args.load_checkpoint:
+        final.load_model_only(args.load_checkpoint)
+    elif args.validate and args.load_model:
+        final.load_model_only(args.load_model)
+    elif best_path.exists():
+        final.load_model_only(best_path)
     elif args.validate and args.moco_checkpoint:
         # validate-only on a pretrained backbone (classifier stays random)
         final.load_moco_checkpoint(args.moco_checkpoint)
         logger.warning("--validate with --mc: classifier head is untrained")
+    elif args.validate:
+        raise SystemExit(
+            "--validate needs a checkpoint: pass --load-checkpoint/"
+            f"--load-model/--mc or train first ({best_path} missing)")
     else:
-        logger.warning("No checkpoint for final validation (%s)", ckpt_path)
+        logger.warning("No checkpoint for final validation (%s)", best_path)
     result = final.validate_epoch(final.current_epoch, prefix="final")
     logger.info("Final validate: acc1=%.2f acc5=%.2f", result["acc1"],
                 result["acc5"])

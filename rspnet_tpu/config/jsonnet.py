@@ -702,17 +702,6 @@ class _Env:
         raise KeyError(name)
 
 
-@dataclass
-class _Layer:
-    """One object literal in an inheritance chain."""
-    node: ObjectE
-    env: _Env                     # lexical env where the literal appeared
-    fields: Dict[str, ObjField] = None
-
-    def __post_init__(self):
-        pass
-
-
 class JObject:
     """A composed jsonnet object: a chain of layers (leftmost = base)."""
 
@@ -722,7 +711,6 @@ class JObject:
         self._cache: Dict[str, Any] = {}
         # field name -> (layer_idx, ObjField, visibility) resolved top-down
         self._index: Dict[str, Tuple[int, ObjField, str]] = {}
-        self._names: Dict[str, Tuple[int, ObjField]] = {}
         self._build_index()
 
     def _build_index(self):
@@ -1149,7 +1137,8 @@ class _Interp:
         if isinstance(v, JFunction):
             raise JsonnetError("cannot manifest a function")
         if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
-            return v
+            # jsonnet prints integral numbers without a decimal point
+            return int(v)
         return v
 
 

@@ -133,10 +133,6 @@ def _proc_job(k: int):
     return _load_one(catalog, cfg, idx, rng), k < len(indices)
 
 
-class Batch(Tuple):
-    pass
-
-
 class VideoDataLoader:
     """Iterates dicts: {'clips': [uint8 [B,T,S,S,3]] * num_clips,
     'labels': int32 [B], 'mask': bool [B]}."""

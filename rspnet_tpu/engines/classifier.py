@@ -96,6 +96,13 @@ def make_classifier_train_step(model, optimizer, *, n_crop: int = 1,
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
+        if only_train_fc:
+            # mask UPDATES too: add_decayed_weights would otherwise shrink
+            # the frozen backbone every step (the reference freezes via
+            # requires_grad=False so torch.SGD skips those params entirely)
+            updates = jax.tree_util.tree_map(
+                lambda u, m: u if m else jnp.zeros_like(u), updates,
+                mask_tree)
         params = optax.apply_updates(state.params, updates)
 
         num_classes = logits.shape[-1]

@@ -148,7 +148,9 @@ class FinetuneEngine:
         mean, std = self.normalize
         return augment_batch(jnp.asarray(clip_u8), p.boxes, p.flip, p.jitter,
                              p.order, p.gray, p.blur,
-                             size=(self.size, self.size), mean=mean, std=std)
+                             size=(self.size, self.size), mean=mean, std=std,
+                             identity_geometry=(H, W) == (self.size,
+                                                          self.size))
 
     def _device_eval_preprocess(self, clip_u8: np.ndarray) -> jnp.ndarray:
         B, _, H, W, _ = clip_u8.shape

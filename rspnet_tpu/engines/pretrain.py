@@ -71,7 +71,9 @@ class PretrainEngine:
             cfg.get_string("optimizer.schedule", "cosine"), lr,
             num_epochs=self.num_epochs,
             milestones=cfg.get_list("optimizer.milestones", []),
-            patience=cfg.get_int("optimizer.patience", 10))
+            patience=cfg.get_int("optimizer.patience", 10),
+            # reference pretrain cosine floors at lr/1000 (pretrain.py:75-79)
+            eta_min=lr / 1000.0)
         self.optimizer = build_optimizer(cfg.get_config("optimizer"), lr)
 
         # data
@@ -148,7 +150,9 @@ class PretrainEngine:
         return augment_batch(
             jnp.asarray(clip_u8), p.boxes, p.flip, p.jitter, p.order,
             p.gray, p.blur, size=(self.size, self.size), mean=mean, std=std,
-            gray_before_jitter=gray_first, use_blur=use_blur)
+            gray_before_jitter=gray_first, use_blur=use_blur,
+            identity_geometry=(clip_u8.shape[2], clip_u8.shape[3])
+            == (self.size, self.size))
 
     # -- epochs ---------------------------------------------------------------
     def train_epoch(self, epoch: int) -> None:

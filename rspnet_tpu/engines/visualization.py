@@ -101,14 +101,20 @@ class VisualizationEngine:
         rng = jax.random.PRNGKey(cfg.get_int("seed", 0))
         dummy = jnp.zeros((1, self.clip_len, self.size, self.size, 3))
         self.variables = self.model.init({"params": rng}, dummy, train=False)
+        # key-encoder variables: default to the query encoder until a MoCo
+        # checkpoint provides the real encoder_k (reference cam_visualize
+        # uses encoder_k for the key side, builder:455-466)
+        self.variables_k = self.variables
 
     def load_moco_checkpoint(self, path) -> None:
         from ..framework import load_state
         cp = load_state(path)
-        m = cp["model"]
+        m = cp.get("model") if isinstance(cp, dict) else None
         if isinstance(m, dict) and "params_q" in m:
             self.variables = {"params": m["params_q"],
                               "batch_stats": m["batch_stats_q"]}
+            self.variables_k = {"params": m["params_k"],
+                                "batch_stats": m["batch_stats_k"]}
         else:
             enc_params, enc_stats = load_pretrained_encoder(path, self.arch)
             params = dict(self.variables["params"])
@@ -116,10 +122,12 @@ class VisualizationEngine:
             params["encoder"] = enc_params
             stats["encoder"] = enc_stats
             self.variables = {"params": params, "batch_stats": stats}
+            self.variables_k = self.variables
         logger.info("Loaded checkpoint %s", path)
 
-    def _head_weights(self):
-        p = self.variables["params"]
+    @staticmethod
+    def _head_weights_of(variables):
+        p = variables["params"]
         w_a = np.asarray(p["fc1"]["linear"]["kernel"]).T  # [dim, C]
         w_m = np.asarray(p["fc2"]["linear"]["kernel"]).T
         return jnp.asarray(w_a), jnp.asarray(w_m)
@@ -127,16 +135,18 @@ class VisualizationEngine:
     def visual_epoch(self, max_batches: int = 4) -> int:
         out_dir = Path(self.args.run_dir) / "cam"
         out_dir.mkdir(parents=True, exist_ok=True)
-        w_a, w_m = self._head_weights()
+        w_a_q, w_m_q = self._head_weights_of(self.variables)
+        w_a_k, w_m_k = self._head_weights_of(self.variables_k)
 
         @jax.jit
-        def compute(variables, clip_q, clip_k):
-            feat_q = self.model.apply(variables, clip_q, train=False,
+        def compute(variables_q, variables_k, clip_q, clip_k):
+            feat_q = self.model.apply(variables_q, clip_q, train=False,
                                       method="features")
-            feat_k = self.model.apply(variables, clip_k, train=False,
+            # key side uses the MOMENTUM encoder, as the reference does
+            feat_k = self.model.apply(variables_k, clip_k, train=False,
                                       method="features")
-            return cam_maps(feat_q, feat_k, w_a, w_a, w_m, w_m), (feat_q,
-                                                                  feat_k)
+            return cam_maps(feat_q, feat_k, w_a_q, w_a_k, w_m_q,
+                            w_m_k), (feat_q, feat_k)
 
         n_saved = 0
         mean, std = tuple(_MEAN), tuple(_STD)
@@ -155,7 +165,7 @@ class VisualizationEngine:
                                      size=(self.size, self.size),
                                      mean=mean, std=std)
             (ms_qa, ms_qm, ms_ka, ms_km), _ = compute(
-                self.variables, clip_q, clip_k)
+                self.variables, self.variables_k, clip_q, clip_k)
 
             for b in range(qs.shape[0]):
                 for name, cam, clip in (

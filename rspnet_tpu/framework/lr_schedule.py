@@ -40,8 +40,8 @@ class LRScheduler:
 class CosineLR(LRScheduler):
     """CosineAnnealingLR(T_max=num_epochs), epoch-stepped.
 
-    eta_min: 0 for pretrain (reference: pretrain.py:79-82), lr/1000 for
-    finetune (reference: finetune.py:224-228).
+    Both reference engines floor at eta_min=lr/1000 (pretrain.py:75-79,
+    finetune.py:224-228).
     """
 
     def __init__(self, base_lr: float, num_epochs: int, eta_min: float = 0.0):

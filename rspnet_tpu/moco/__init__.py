@@ -19,6 +19,13 @@ def build_moco_model(cfg, dtype=None, axis_name="data"):
 
     arch = cfg.get_string("model.arch")
     encoder_factory = get_model_class(arch)
+    if not cfg.get_list("moco.diff_speed"):
+        # fail at build time with a clear message — the reference's builder
+        # asserts the same (builder:334; its random.choice([]) would crash)
+        raise ValueError(
+            "moco.diff_speed must be a non-empty list (e.g. [2]); the "
+            "dual-speed MoCo builder has no single-speed mode, matching "
+            "the reference MoCoDiffLossTwoFc assertion")
     moco_cfg = MoCoConfig(
         dim=cfg.get_int("moco.dim"),
         k=cfg.get_int("moco.k"),

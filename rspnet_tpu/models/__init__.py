@@ -38,11 +38,8 @@ _REGISTRY = {
     "r2plus1d-18": _r2plus1d.r2plus1d_18,
 }
 
-_PLANNED = set()
-
-
 def available_archs():
-    return sorted(set(_REGISTRY) | {a for a in _PLANNED})
+    return sorted(_REGISTRY)
 
 
 def get_model_class(arch: str, **model_cfg) -> Callable[..., nn.Module]:

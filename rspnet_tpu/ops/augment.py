@@ -238,10 +238,12 @@ def _apply_jitter(clip: jnp.ndarray, factors: jnp.ndarray,
 
 
 def _augment_one(clip: jnp.ndarray, box, flip, jitter, order, gray, blur,
-                 *, size, mean, std, gray_before_jitter, use_blur):
+                 *, size, mean, std, gray_before_jitter, use_blur,
+                 identity_geometry=False):
     """[T, H, W, C] uint8 -> [T, S, S, C] float32 normalized."""
     x = clip.astype(jnp.float32) / 255.0
-    x = crop_resize(x, box, size)
+    if not identity_geometry:
+        x = crop_resize(x, box, size)
 
     def do_gray(c):
         return jnp.where(gray, color.rgb_to_grayscale(c), c)
@@ -261,22 +263,30 @@ def _augment_one(clip: jnp.ndarray, box, flip, jitter, order, gray, blur,
 
 
 @partial(jax.jit, static_argnames=("size", "mean", "std",
-                                   "gray_before_jitter", "use_blur"))
+                                   "gray_before_jitter", "use_blur",
+                                   "identity_geometry"))
 def augment_batch(batch: jnp.ndarray, boxes, flip, jitter, order, gray, blur,
                   *, size: Tuple[int, int],
                   mean: Tuple[float, ...] = (0.485, 0.456, 0.406),
                   std: Tuple[float, ...] = (0.229, 0.224, 0.225),
                   gray_before_jitter: bool = True,
-                  use_blur: bool = False) -> jnp.ndarray:
+                  use_blur: bool = False,
+                  identity_geometry: bool = False) -> jnp.ndarray:
     """Vectorized train augmentation.
 
     batch: uint8 [B, T, H, W, C]; returns float32 [B, T, S, S, C].
     `gray_before_jitter=True` matches the standard MoCo/finetune stacks
     (reference: datasets/classification/__init__.py:186-199, 243-254);
-    False + use_blur matches aug_plus (:201-216).
+    False + use_blur matches aug_plus (:201-216). `identity_geometry=True`
+    statically skips crop_resize when the host already cropped+resized to
+    `size` — boxes are runtime values, so XLA cannot elide the identity
+    gather itself (4 full-batch gathers saved per clip in the hot loop).
     """
+    if identity_geometry:
+        assert batch.shape[2:4] == tuple(size), (batch.shape, size)
     fn = partial(_augment_one, size=size, mean=mean, std=std,
-                 gray_before_jitter=gray_before_jitter, use_blur=use_blur)
+                 gray_before_jitter=gray_before_jitter, use_blur=use_blur,
+                 identity_geometry=identity_geometry)
     return jax.vmap(fn)(batch, boxes, flip, jitter, order, gray, blur)
 
 

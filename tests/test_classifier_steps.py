@@ -34,7 +34,9 @@ def test_fc_only_mask_structure():
 
 def test_linear_probe_only_updates_fc():
     m = _model()
-    opt = optax.sgd(0.5)
+    # weight decay included on purpose: add_decayed_weights must not shrink
+    # the frozen backbone (code-review regression)
+    opt = optax.chain(optax.add_decayed_weights(1e-2), optax.sgd(0.5))
     state = init_train_state(m, opt, KEY, (1, 8, 32, 32, 3))
     step = jax.jit(make_classifier_train_step(
         m, opt, axis_name=None, only_train_fc=True))
