@@ -288,3 +288,37 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
     )
     catalog = catalog or build_catalog(cfg_tree, split)
     return VideoDataLoader(catalog, cfg)
+
+
+def prefetch_iterator(iterable, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue.
+
+    Overlaps host batch assembly (decode pool + np.stack) with device work:
+    while the compiled step runs asynchronously, the next batch is already
+    being built. The reference gets this from torch DataLoader's worker
+    prefetching; our loader prefetches samples but assembled *batches* were
+    produced synchronously with the train loop before this.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def produce():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface worker errors in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

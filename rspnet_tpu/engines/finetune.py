@@ -200,20 +200,31 @@ class FinetuneEngine:
         self.train_loader.set_epoch(epoch)
         n_batches = len(self.train_loader)
         t0 = time.perf_counter()
-        for i, batch in enumerate(self.train_loader):
+        from ..data.pipeline import prefetch_iterator
+        keys = ("loss", "acc1", "acc5")
+        pending = []          # [n_metrics] device arrays, fetched in bulk
+        pending_n = []
+        for i, batch in enumerate(prefetch_iterator(iter(self.train_loader))):
             clips = self._device_train_augment(batch["clips"][0])
             clips = shard_batch(clips, self.mesh)
             labels = shard_batch(jnp.asarray(batch["labels"]), self.mesh)
             self.step_key, sub = jax.random.split(self.step_key)
             self.state, metrics = self.train_step(self.state, clips, labels,
                                                   sub)
-            host = {k: float(v) for k, v in metrics.items()}
-            meters.update(host, n=batch["labels"].shape[0])
+            # per-scalar device fetches cost a full tunnel round-trip each;
+            # stack and fetch in bulk (log-late, like the reference)
+            pending.append(jnp.stack([metrics[k] for k in keys]))
+            pending_n.append(batch["labels"].shape[0])
             if i % self.log_interval == 0:
+                vals = np.asarray(pending[-1])
                 logger.info("Train [%d/%d][%d/%d]\t%s", epoch,
-                            self.num_epochs, i, n_batches, meters)
+                            self.num_epochs, i, n_batches,
+                            "\t".join(f"{k}={v:.4f}"
+                                      for k, v in zip(keys, vals)))
             if self.debug and i >= 2:
                 break
+        for row, n in zip(np.asarray(jnp.stack(pending)), pending_n):
+            meters.update(dict(zip(keys, row)), n=n)
         logger.info("Train epoch %d done in %.1fs", epoch,
                     time.perf_counter() - t0)
         if self.summary_writer is not None:
@@ -225,20 +236,23 @@ class FinetuneEngine:
         return meters
 
     def validate_epoch(self, epoch: int, prefix: str = "val"):
-        totals = {"loss_sum": 0.0, "correct1": 0.0, "correct5": 0.0,
-                  "count": 0.0}
+        sum_keys = ("loss_sum", "correct1", "correct5", "count")
         self.validate_loader.set_epoch(epoch)
         t0 = time.perf_counter()
-        for i, batch in enumerate(self.validate_loader):
+        pending = []
+        from ..data.pipeline import prefetch_iterator
+        for i, batch in enumerate(prefetch_iterator(
+                iter(self.validate_loader))):
             clips = self._device_eval_preprocess(batch["clips"][0])
             clips = shard_batch(clips, self.mesh)
             labels = shard_batch(jnp.asarray(batch["labels"]), self.mesh)
             mask = shard_batch(jnp.asarray(batch["mask"]), self.mesh)
             sums = self.eval_step(self.state, clips, labels, mask)
-            for k in totals:
-                totals[k] += float(sums[k])
+            pending.append(jnp.stack([sums[k] for k in sum_keys]))
             if self.debug and i >= 2:
                 break
+        all_sums = np.asarray(jnp.stack(pending)).sum(axis=0)
+        totals = dict(zip(sum_keys, all_sums))
         count = max(totals["count"], 1.0)
         loss = totals["loss_sum"] / count
         acc1 = totals["correct1"] / count * 100.0

@@ -166,31 +166,51 @@ class PretrainEngine:
         # reference computes per-iteration (pretrain.py:169-195)
         pending = []
 
-        for i, batch in enumerate(self.train_loader):
+        import os
+        timing = os.environ.get("RSPNET_TIMING")
+        tprev = time.perf_counter()
+        from ..data.pipeline import prefetch_iterator
+        for i, batch in enumerate(prefetch_iterator(iter(self.train_loader))):
+            if timing:
+                t0 = time.perf_counter()
             clip_q = self._augment_clip(batch["clips"][0])
             clip_k = self._augment_clip(batch["clips"][1])
             clip_q = shard_batch(clip_q, self.mesh)
             clip_k = shard_batch(clip_k, self.mesh)
+            if timing:
+                jax.block_until_ready(clip_k)
+                t1 = time.perf_counter()
             self.step_key, sub = jax.random.split(self.step_key)
             self.state, metrics = self.train_step(self.state, clip_q,
                                                   clip_k, sub)
-            pending.append(metrics)
+            if timing:
+                jax.block_until_ready(metrics["loss"])
+                t2 = time.perf_counter()
+                logger.info("timing[%d]: load=%.0fms augment=%.0fms "
+                            "step=%.0fms", i, (t0 - tprev) * 1000,
+                            (t1 - t0) * 1000, (t2 - t1) * 1000)
+                tprev = t2
+            # stack the step's metrics into ONE device array: per-scalar
+            # fetches cost a full tunnel round-trip each (~1s on axon)
+            pending.append(jnp.stack([metrics[k] for k in _METER_KEYS]))
             samples += batch["labels"].shape[0]
 
             if i % self.log_interval == 0:
                 # the only mid-epoch device sync, like the reference's
-                # log-late pattern (pretrain.py:177-185)
-                host = {k: float(v) for k, v in metrics.items()}
+                # log-late pattern (pretrain.py:177-185) — one transfer
+                vals = np.asarray(pending[-1])
                 logger.info(
                     "Epoch %d [%d/%d] %s lr=%.5f", epoch, i, n_batches,
-                    "\t".join(f"{k}={v:.4f}" for k, v in host.items()),
+                    "\t".join(f"{k}={v:.4f}"
+                              for k, v in zip(_METER_KEYS, vals)),
                     self.scheduler.lr)
             if self.debug and i >= 2:
                 break
 
-        for metrics in pending:
-            self.meters.update({k: float(v) for k, v in metrics.items()},
-                               n=1)
+        # single [n_steps, n_metrics] transfer for the exact epoch averages
+        all_vals = np.asarray(jnp.stack(pending))
+        for row in all_vals:
+            self.meters.update(dict(zip(_METER_KEYS, row)), n=1)
 
         jax.block_until_ready(self.state.step)
         dt = time.perf_counter() - t_epoch
@@ -213,17 +233,21 @@ class PretrainEngine:
                                            self.mesh)
         meters = MeterGroup(_METER_KEYS)
         self.train_loader.set_epoch(self.current_epoch)
-        for i, batch in enumerate(self.train_loader):
+        pending, pending_n = [], []
+        from ..data.pipeline import prefetch_iterator
+        for i, batch in enumerate(prefetch_iterator(iter(self.train_loader))):
             clip_q = shard_batch(self._augment_clip(batch["clips"][0]),
                                  self.mesh)
             clip_k = shard_batch(self._augment_clip(batch["clips"][1]),
                                  self.mesh)
             self.step_key, sub = jax.random.split(self.step_key)
             metrics = eval_step(self.state, clip_q, clip_k, sub)
-            meters.update({k: float(v) for k, v in metrics.items()},
-                          n=batch["labels"].shape[0])
+            pending.append(jnp.stack([metrics[k] for k in _METER_KEYS]))
+            pending_n.append(batch["labels"].shape[0])
             if self.debug and i >= 2:
                 break
+        for row, n in zip(np.asarray(jnp.stack(pending)), pending_n):
+            meters.update(dict(zip(_METER_KEYS, row)), n=n)
         logger.info("Validate statistics: %s", meters)
         return {k: meters[k].avg for k in _METER_KEYS}
 

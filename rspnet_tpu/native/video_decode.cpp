@@ -34,6 +34,11 @@ struct Reader {
   SwsContext* sws = nullptr;
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
+  // aligned intermediate RGB buffer: sws_scale's SIMD stores can write past
+  // unaligned row ends (width*3 rarely is a 16/32-byte multiple), so it
+  // must never target the caller's tightly-packed numpy buffer directly
+  uint8_t* rgb_data[4] = {nullptr, nullptr, nullptr, nullptr};
+  int rgb_linesize[4] = {0, 0, 0, 0};
   int stream_idx = -1;
   int width = 0;
   int height = 0;
@@ -173,6 +178,14 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
       return -1;
     }
   }
+  if (!r->rgb_data[0]) {
+    int ret2 = av_image_alloc(r->rgb_data, r->rgb_linesize, r->width,
+                              r->height, AV_PIX_FMT_RGB24, 32);
+    if (ret2 < 0) {
+      set_err(r, "av_image_alloc", ret2);
+      return -1;
+    }
+  }
 
   int64_t first = want.front().first;
   // Seek backward to a keyframe if the window is behind us or far ahead.
@@ -243,13 +256,20 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
       }
       r->next_index = idx + 1;
 
-      while (cursor < want.size() && want[cursor].first <= idx) {
-        uint8_t* dst[1] = {out + (size_t)want[cursor].second * frame_bytes};
-        int dst_stride[1] = {r->width * 3};
+      if (cursor < want.size() && want[cursor].first <= idx) {
+        // scale once into the aligned buffer, then copy tight rows out
         sws_scale(r->sws, r->frame->data, r->frame->linesize, 0, r->height,
-                  dst, dst_stride);
-        last_written = want[cursor].second;
-        cursor++;
+                  r->rgb_data, r->rgb_linesize);
+        while (cursor < want.size() && want[cursor].first <= idx) {
+          uint8_t* dst = out + (size_t)want[cursor].second * frame_bytes;
+          for (int y = 0; y < r->height; y++) {
+            memcpy(dst + (size_t)y * r->width * 3,
+                   r->rgb_data[0] + (size_t)y * r->rgb_linesize[0],
+                   (size_t)r->width * 3);
+          }
+          last_written = want[cursor].second;
+          cursor++;
+        }
       }
       av_frame_unref(r->frame);
       if (cursor >= want.size()) return 0;
@@ -261,6 +281,7 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
 void vr_close(void* h) {
   Reader* r = (Reader*)h;
   if (!r) return;
+  if (r->rgb_data[0]) av_freep(&r->rgb_data[0]);
   if (r->sws) sws_freeContext(r->sws);
   if (r->frame) av_frame_free(&r->frame);
   if (r->pkt) av_packet_free(&r->pkt);

@@ -5,6 +5,7 @@ reference's composed config (evaluated with the same mini-jsonnet engine from
 the reference's own jsonnet sources at /root/reference/config). This pins the
 full config schema of SURVEY.md §5.6.
 """
+import json
 import os
 
 import pytest
@@ -106,3 +107,15 @@ def test_configtree_api():
     assert cfg.get_list("l")[1].get_int("x") == 1
     d = cfg.as_plain_dict()
     assert d["l"][1] == {"x": 1}
+
+
+@needs_reference
+@pytest.mark.parametrize("rel", ENTRY_CONFIGS)
+def test_manifest_matches_reference_bytewise(rel):
+    """Byte-level JSON parity: dict equality treats 16.0 == 16, which hides
+    number-formatting divergence from real jsonnet output."""
+    ours = json.dumps(load_config(os.path.join(OUR_CFG, rel)).as_plain_dict(),
+                      sort_keys=True)
+    ref = json.dumps(load_config(os.path.join(REF_CFG, rel)).as_plain_dict(),
+                     sort_keys=True)
+    assert ours == ref

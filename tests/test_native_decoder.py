@@ -70,6 +70,73 @@ def test_missing_file_raises(native):
         native.RspVideoReader("/nonexistent/video.mp4")
 
 
+@pytest.fixture(scope="module")
+def odd_width_videos(tmp_path_factory):
+    """Width 170 -> RGB24 row of 510 bytes, NOT a SIMD-register multiple.
+
+    Regression guard: sws_scale's vector stores spill past unaligned row
+    ends, so scaling directly into the tightly-packed output buffer
+    corrupted the heap (crashed 'corrupted size vs. prev_size' under
+    concurrency). The decoder must stage through an aligned buffer.
+    """
+    d = tmp_path_factory.mktemp("oddvids")
+    paths = []
+    for v in range(4):
+        path = str(d / f"v{v}.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25,
+                            (170, 128))
+        for t in range(64):
+            f = np.zeros((128, 170, 3), np.uint8)
+            f[:, :, 0] = t * 3
+            f[:, :, 2] = v * 50
+            w.write(f[..., ::-1])
+        w.release()
+        paths.append(path)
+    return paths
+
+
+def test_odd_width_matches_cv2(native, odd_width_videos):
+    from rspnet_tpu.data.video_reader import CvVideoReader
+    r = native.RspVideoReader(odd_width_videos[0])
+    c = CvVideoReader(odd_width_videos[0])
+    idx = [0, 13, 40, 63]
+    diff = np.abs(r.get_batch(idx).astype(int)
+                  - c.get_batch(idx).astype(int)).max()
+    assert diff <= 2
+    r.close()
+    c.close()
+
+
+def test_concurrent_decode_threads(native, odd_width_videos):
+    """Six threads, each with its own reader, decoding odd-width video.
+
+    Before the aligned-staging fix this aborted the process with heap
+    corruption; readers must be safe when used from independent threads.
+    """
+    import threading
+
+    errors = []
+
+    def work(i):
+        try:
+            for _ in range(4):
+                r = native.RspVideoReader(odd_width_videos[i % 4])
+                batch = r.get_batch(list(range(0, 60, 2)))
+                assert batch.shape == (30, 128, 170, 3)
+                # content check: blue channel encodes the video id
+                assert abs(float(batch[:, :, :, 2].mean()) - (i % 4) * 50) < 8
+                r.close()
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+
 def test_pipeline_uses_native_backend(native, test_video):
     from rspnet_tpu.data.video_reader import open_video
     r = open_video(test_video)
