@@ -105,11 +105,8 @@ def make_classifier_train_step(model, optimizer, *, n_crop: int = 1,
                 mask_tree)
         params = optax.apply_updates(state.params, updates)
 
-        num_classes = logits.shape[-1]
-        topk = (1, 5) if num_classes >= 5 else (1,)
-        accs = accuracy(logits, labels, topk=topk)
-        metrics = {"loss": loss, "acc1": accs[0],
-                   "acc5": accs[1] if len(accs) > 1 else accs[0]}
+        accs = accuracy(logits, labels, topk=(1, 5))  # k clamped at C inside
+        metrics = {"loss": loss, "acc1": accs[0], "acc5": accs[1]}
         if axis_name is not None:
             metrics = jax.lax.pmean(metrics, axis_name)
 

@@ -17,13 +17,15 @@ def accuracy(output: jnp.ndarray, target: jnp.ndarray,
 
     output: [B, C] logits; target: [B] int labels.
     """
-    maxk = max(topk)
+    # clamp k at C: top-C of C classes always contains the label, so e.g.
+    # acc5 on a 2-class head is 100%, matching the eval-step convention
+    maxk = min(max(topk), output.shape[-1])
     batch_size = target.shape[0]
     _, pred = jax.lax.top_k(output, maxk)          # [B, maxk]
     correct = (pred == target[:, None])            # [B, maxk]
     res = []
     for k in topk:
-        correct_k = jnp.sum(correct[:, :k].astype(jnp.float32))
+        correct_k = jnp.sum(correct[:, :min(k, maxk)].astype(jnp.float32))
         res.append(correct_k * (100.0 / batch_size))
     return res
 
@@ -37,13 +39,13 @@ def masked_accuracy(output: jnp.ndarray, target: jnp.ndarray,
     reference's num_valid_samples tail cutting,
     datasets/classification/__init__.py:16-19).
     """
-    maxk = max(topk)
+    maxk = min(max(topk), output.shape[-1])
     _, pred = jax.lax.top_k(output, maxk)
     correct = (pred == target[:, None]) & mask[:, None]
     denom = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     res = []
     for k in topk:
-        correct_k = jnp.sum(correct[:, :k].astype(jnp.float32))
+        correct_k = jnp.sum(correct[:, :min(k, maxk)].astype(jnp.float32))
         res.append(correct_k * (100.0 / denom))
     return res
 

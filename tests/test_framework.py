@@ -172,6 +172,19 @@ def test_accuracy_matches_torch_reference():
     assert float(acc5) == pytest.approx(t_acc5)
 
 
+def test_accuracy_k_clamped_to_num_classes():
+    """acc5 on a <5-class head is trivially 100%, not a fallback to acc1
+    (keeps train metrics consistent with the eval step's clamped top-k)."""
+    logits = jnp.array([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4]])
+    target = jnp.array([1, 1, 0])
+    acc1, acc5 = accuracy(logits, target, topk=(1, 5))
+    assert float(acc1) == pytest.approx(100.0 * 2 / 3)
+    assert float(acc5) == pytest.approx(100.0)
+    (m5,) = masked_accuracy(logits, target, jnp.array([True, True, False]),
+                            topk=(5,))
+    assert float(m5) == pytest.approx(100.0)
+
+
 def test_masked_accuracy():
     logits = jnp.eye(4)
     target = jnp.array([0, 1, 0, 0])
