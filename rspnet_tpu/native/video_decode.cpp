@@ -170,12 +170,37 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
 
   const size_t frame_bytes = (size_t)r->width * r->height * 3;
   if (!r->sws) {
-    r->sws = sws_getContext(r->width, r->height, r->codec->pix_fmt, r->width,
+    // map deprecated full-range J formats to their modern equivalent and
+    // carry the range explicitly; avoids swscale's per-reader log spam
+    AVPixelFormat src_fmt = r->codec->pix_fmt;
+    bool full_range = r->codec->color_range == AVCOL_RANGE_JPEG;
+    switch (src_fmt) {
+      case AV_PIX_FMT_YUVJ420P: src_fmt = AV_PIX_FMT_YUV420P;
+                                full_range = true; break;
+      case AV_PIX_FMT_YUVJ422P: src_fmt = AV_PIX_FMT_YUV422P;
+                                full_range = true; break;
+      case AV_PIX_FMT_YUVJ444P: src_fmt = AV_PIX_FMT_YUV444P;
+                                full_range = true; break;
+      case AV_PIX_FMT_YUVJ440P: src_fmt = AV_PIX_FMT_YUV440P;
+                                full_range = true; break;
+      default: break;
+    }
+    r->sws = sws_getContext(r->width, r->height, src_fmt, r->width,
                             r->height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
                             nullptr, nullptr, nullptr);
     if (!r->sws) {
       set_err(r, "sws_getContext failed");
       return -1;
+    }
+    if (full_range) {
+      int* inv_table; int* table;
+      int in_full, out_full, brightness, contrast, saturation;
+      if (sws_getColorspaceDetails(r->sws, &inv_table, &in_full, &table,
+                                   &out_full, &brightness, &contrast,
+                                   &saturation) >= 0) {
+        sws_setColorspaceDetails(r->sws, inv_table, 1, table, out_full,
+                                 brightness, contrast, saturation);
+      }
     }
   }
   if (!r->rgb_data[0]) {
