@@ -187,9 +187,10 @@ def make_train_step(model, optimizer, cfg: MoCoConfig,
         return out, new_stats
 
     def step(state: MoCoState, im_q, im_k, rng):
-        # identical rng on every replica (replicated inputs) => identical
-        # speed choice; batch permutation applies to the local shard, like
-        # the reference's per-rank randperm (builder :333-335)
+        # fold in the replica index so each replica draws its OWN speed
+        # choice and shard permutation — matching the reference's per-rank
+        # RNG (random.choice + local randperm, builder :425-428); with
+        # diff_speed=(2,) the speed draw is degenerate either way
         if axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         rng_speed, _ = jax.random.split(rng)

@@ -39,9 +39,21 @@ def init_distributed() -> None:
 
 
 def create_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D mesh over the first n devices (all by default)."""
+    """1-D mesh over the first n devices (all by default).
+
+    Raises when fewer than ``n_devices`` exist — a silently-shrunk mesh
+    would let multi-chip smoke tests "pass" on one device (the reference
+    hard-requires >=2 ranks for its collectives, arguments.py:15-21).
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} JAX device(s) exist "
+                f"(platform={devices[0].platform}); set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} with JAX_PLATFORMS=cpu to emulate")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 
