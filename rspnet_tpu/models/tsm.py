@@ -73,11 +73,47 @@ class TsmBottleneck(nn.Module):
         return nn.relu(h + res)
 
 
+class TsmBasicBlock(nn.Module):
+    """2D ResNet basic block with shift-before-conv1 (for resnet18/34 base
+    models, reference TSN(base_model='resnet18'), models/tsm/models.py)."""
+    planes: int
+    stride: int = 1
+    needs_proj: bool = False
+    fold_div: int = 8
+    use_shift: bool = True
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    expansion = 1
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        self.conv1 = ConvBN(self.planes, (1, 3, 3), (1, self.stride,
+                                                     self.stride),
+                            (0, 1, 1), **kw)
+        self.conv2 = ConvBN(self.planes, (1, 3, 3), 1, (0, 1, 1),
+                            activation=False, **kw)
+        self.downsample = (
+            ConvBN(self.planes, (1, 1, 1), (1, self.stride, self.stride),
+                   0, activation=False, **kw) if self.needs_proj else None)
+
+    def __call__(self, x, train: bool = False):
+        h = temporal_shift(x, self.fold_div) if self.use_shift else x
+        h = self.conv2(self.conv1(h, train), train)
+        res = self.downsample(x, train) if self.downsample is not None else x
+        return nn.relu(h + res)
+
+
 class TSM(nn.Module):
-    """TSM-ResNet50. Input [B, T(=num_segments), H, W, 3]; logits are the
-    average consensus over segments."""
+    """TSM on a 2D ResNet base. Input [B, T(=num_segments), H, W, 3];
+    logits are the average consensus over segments.
+
+    ``basic=True`` selects BasicBlock stages (resnet18/34 base models),
+    else Bottleneck (resnet50)."""
     num_classes: int = 174
     layers: Sequence[int] = (3, 4, 6, 3)
+    basic: bool = False
+    num_segments: int = 8  # informational; T rides the input shape
     fold_div: int = 8
     with_classifier: bool = True
     consensus: str = "avg"
@@ -86,10 +122,12 @@ class TSM(nn.Module):
 
     @property
     def feature_dim(self) -> int:
-        return 2048
+        return 512 if self.basic else 2048
 
     def setup(self):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        block_cls = TsmBasicBlock if self.basic else TsmBottleneck
+        expansion = block_cls.expansion
         self.stem = ConvBN(64, (1, 7, 7), (1, 2, 2), (0, 3, 3), **kw)
         blocks = []
         in_planes = 64
@@ -97,11 +135,12 @@ class TSM(nn.Module):
                                                 self.layers)):
             for i in range(n):
                 stride = 2 if (stage > 0 and i == 0) else 1
-                blocks.append(TsmBottleneck(
+                blocks.append(block_cls(
                     planes=planes, stride=stride, fold_div=self.fold_div,
-                    needs_proj=(stride != 1 or in_planes != planes * 4),
+                    needs_proj=(stride != 1
+                                or in_planes != planes * expansion),
                     name=f"layer{stage + 1}_{i}", **kw))
-                in_planes = planes * 4
+                in_planes = planes * expansion
         self.blocks = blocks
         if self.with_classifier:
             self.new_fc = nn.Dense(self.num_classes, dtype=self.dtype,
@@ -123,7 +162,24 @@ class TSM(nn.Module):
         return jnp.mean(per_frame, axis=1)
 
 
-def get_model_class(**model_cfg):
+_BASE_MODELS = {
+    # base_model -> (stage depths, BasicBlock?)
+    "resnet18": ((2, 2, 2, 2), True),
+    "resnet34": ((3, 4, 6, 3), True),
+    "resnet50": ((3, 4, 6, 3), False),
+}
+
+
+def get_model_class(base_model: str = "resnet50", num_segments: int = 8,
+                    **model_cfg):
+    """Constructor honoring the reference model config keys
+    (config/pretrain/tsm-r18.jsonnet: num_segments, base_model)."""
+    if base_model not in _BASE_MODELS:
+        raise ValueError(f"unknown TSM base_model {base_model!r}; "
+                         f"available: {sorted(_BASE_MODELS)}")
+    layers, basic = _BASE_MODELS[base_model]
+
     def ctor(num_classes=174, **kw):
-        return TSM(num_classes=num_classes, **kw)
+        return TSM(num_classes=num_classes, layers=layers, basic=basic,
+                   num_segments=num_segments, **kw)
     return ctor

@@ -20,6 +20,8 @@ OUR_CFG = os.path.join(REPO_ROOT, "config")
 ENTRY_CONFIGS = [
     "pretrain/c3d.jsonnet",
     "pretrain/resnet18.jsonnet",
+    "pretrain/resnet50.jsonnet",
+    "pretrain/tsm-r18.jsonnet",
     "pretrain/s3dg.jsonnet",
     "pretrain/r2plus1d.jsonnet",
     "finetune/ucf101_c3d.jsonnet",
