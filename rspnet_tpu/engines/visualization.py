@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ConfigTree
-from ..moco import build_moco_model
+from ..moco import build_moco_model, diff_speed_gather
 from ..ops.augment import eval_preprocess
 from ..parallel import create_mesh
 from .transfer import load_pretrained_encoder
@@ -99,6 +99,9 @@ class VisualizationEngine:
                                       debug=self.debug)
 
         rng = jax.random.PRNGKey(cfg.get_int("seed", 0))
+        # deterministic per-batch speed pairing (seed-derived, so CAM output
+        # is reproducible for a given checkpoint + seed)
+        self._rng_speed = jax.random.fold_in(rng, 0x5eed)
         dummy = jnp.zeros((1, self.clip_len, self.size, self.size, 3))
         self.variables = self.model.init({"params": rng}, dummy, train=False)
         # key-encoder variables: default to the query encoder until a MoCo
@@ -153,9 +156,12 @@ class VisualizationEngine:
         for bi, batch in enumerate(self.loader):
             if bi >= max_batches:
                 break
-            # eval preprocessing; subsample dual-speed load to clip_len
-            qs = batch["clips"][0][:, :self.clip_len]
-            ks = batch["clips"][1][:, :self.clip_len]
+            # eval preprocessing at full loaded length, then dual-speed
+            # pairing exactly like training (reference cam_visualize routes
+            # clips through _diff_speed first, builder:458-461): half the
+            # batch plays fast, half normal, q and k at MATCHED speeds.
+            qs = batch["clips"][0]
+            ks = batch["clips"][1]
             boxes = np.array([[0, 0, qs.shape[2], qs.shape[3]]] * qs.shape[0],
                              np.float32)
             clip_q = eval_preprocess(jnp.asarray(qs), boxes,
@@ -164,6 +170,13 @@ class VisualizationEngine:
             clip_k = eval_preprocess(jnp.asarray(ks), boxes,
                                      size=(self.size, self.size),
                                      mean=mean, std=std)
+            if self.moco_cfg.diff_speed:
+                rng_b = jax.random.fold_in(self._rng_speed, bi)
+                clip_q, clip_k, _ = diff_speed_gather(
+                    clip_q, clip_k, rng_b, self.moco_cfg)
+            else:
+                clip_q = clip_q[:, :self.clip_len]
+                clip_k = clip_k[:, :self.clip_len]
             (ms_qa, ms_qm, ms_ka, ms_km), _ = compute(
                 self.variables, self.variables_k, clip_q, clip_k)
 

