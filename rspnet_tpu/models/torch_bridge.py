@@ -18,7 +18,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-__all__ = ["torch_to_flax", "flax_to_torch", "KEY_MAPPERS"]
+__all__ = ["torch_to_flax", "flax_to_torch", "inflate_2d_state_dict",
+           "KEY_MAPPERS"]
 
 
 # ---------------------------------------------------------------------------
@@ -163,8 +164,35 @@ def _r2plus1d_mapping(layer_sizes=(1, 1, 1, 1)) -> list:
     return m
 
 
+_MFNET_K_SEC = {2: 3, 3: 4, 4: 6, 5: 3}  # reference mfnet_3d.py:72-75
+
+
+def _mfnet_mapping() -> list:
+    """MFNet-3D names (reference models/mfnet/mfnet_3d.py:67-151):
+    conv1.{conv,bn}, conv{2..5}.B{i:02d}.{conv_i1,conv_i2,conv_m1,conv_m2,
+    conv_w1}.{bn,conv}, tail.bn, fc."""
+    m = [("conv1.conv.weight", ("params", "stem_conv/kernel", _conv_w))]
+    m += _bn("conv1.bn", "stem_bn")
+    for s, n_units in _MFNET_K_SEC.items():
+        for i in range(1, n_units + 1):
+            t = f"conv{s}.B{i:02d}"
+            f = f"conv{s}_B{i:02d}"
+            children = ["conv_i1", "conv_i2", "conv_m1", "conv_m2"]
+            if i == 1:
+                children.append("conv_w1")  # first_block adapter
+            for c in children:
+                m.append((f"{t}.{c}.conv.weight",
+                          ("params", f"{f}/{c}/conv/kernel", _conv_w)))
+                m += _bn(f"{t}.{c}.bn", f"{f}/{c}/bn")
+    m += _bn("tail.bn", "tail_bn")
+    m += [("fc.weight", ("params", "fc/kernel", _dense_w)),
+          ("fc.bias", ("params", "fc/bias", None))]
+    return m
+
+
 KEY_MAPPERS = {
     "c3d": _c3d_mapping,
+    "mfnet": _mfnet_mapping,
     "resnet10": lambda: _resnet_mapping((1, 1, 1, 1)),
     "resnet18": lambda: _resnet_mapping((2, 2, 2, 2)),
     "resnet34": lambda: _resnet_mapping((3, 4, 6, 3)),
@@ -225,6 +253,72 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray], arch: str,
             v = conv(v)
         _set_path(params if coll == "params" else batch_stats, flax_path, v)
     return params, batch_stats, missing
+
+
+def _copy_tree(tree):
+    if hasattr(tree, "items"):
+        return {k: _copy_tree(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def inflate_2d_state_dict(variables: dict, state_dict_2d: Dict[str, np.ndarray],
+                          arch: str = "mfnet", method: str = "inflation"
+                          ) -> Tuple[dict, list, list]:
+    """Initialize 3D variables from a 2D torch state dict by temporal
+    inflation (reference models/mfnet/initializer.py:54-136,
+    init_3d_from_2d_dict).
+
+    For each mapped conv whose 2D weight [O, I, kh, kw] matches the target
+    5D kernel on every non-temporal dim, the kernel is divided by kt and
+    replicated kt times along the temporal axis (preserving the activation
+    scale); kt==1 kernels are reshaped. BN/linear params with exact shape
+    match copy through. Everything else (shape-mismatched heads, keys absent
+    from the 2D dict) keeps its current (xavier) init, like the reference.
+
+    Only ``method='inflation'`` is supported — the reference hardcodes it
+    (mfnet_3d.py:156); its 'random' branch is dead code.
+
+    Returns (new_variables, loaded_torch_keys, skipped_torch_keys).
+    """
+    if method != "inflation":
+        raise NotImplementedError(
+            "only 'inflation' is implemented (the reference hardcodes "
+            "load_method='inflation', models/mfnet/mfnet_3d.py:156)")
+    if arch not in KEY_MAPPERS:
+        raise NotImplementedError(
+            f"No torch checkpoint mapping for arch {arch!r}; mapped archs: "
+            f"{sorted(KEY_MAPPERS)}")
+    params = _copy_tree(variables["params"])
+    batch_stats = _copy_tree(variables.get("batch_stats", {}))
+    loaded, skipped = [], []
+    for torch_key, (coll, path, conv) in KEY_MAPPERS[arch]():
+        if torch_key not in state_dict_2d:
+            skipped.append(torch_key)
+            continue
+        src = np.asarray(state_dict_2d[torch_key])
+        tree = params if coll == "params" else batch_stats
+        dst = _get_path(tree, path)
+        if conv is _conv_w and src.ndim == 4:
+            kt, kh, kw, ci, co = dst.shape
+            if src.shape != (co, ci, kh, kw):
+                skipped.append(torch_key)
+                continue
+            v = np.transpose(src, (2, 3, 1, 0))           # [kh, kw, I, O]
+            if kt == 1:
+                v = v[None]                               # pure reshape
+            else:
+                v = np.broadcast_to(v[None] / float(kt), dst.shape)
+        else:
+            v = conv(src) if conv is not None else src
+            if v.shape != dst.shape:
+                skipped.append(torch_key)
+                continue
+        _set_path(tree, path, np.ascontiguousarray(v, dtype=dst.dtype))
+        loaded.append(torch_key)
+    out = dict(variables)
+    out["params"] = params
+    out["batch_stats"] = batch_stats
+    return out, loaded, skipped
 
 
 def flax_to_torch(variables: dict, arch: str) -> Dict[str, np.ndarray]:

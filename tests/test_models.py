@@ -157,6 +157,117 @@ def test_s3dg_forward_parity():
     _compare("s3dg", tm, fm, shape=(1, 8, 64, 64, 3))
 
 
+def _load_ref_mfnet():
+    """Load the reference mfnet package modules (mfnet_3d needs its sibling
+    initializer importable)."""
+    import sys
+    pkg_dir = os.path.join(REFERENCE_ROOT, "models", "mfnet")
+    if not os.path.exists(pkg_dir):
+        pytest.skip("reference repo not mounted")
+    sys.path.insert(0, pkg_dir)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_mfnet_initializer", os.path.join(pkg_dir, "initializer.py"))
+        initializer = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(initializer)
+        spec = importlib.util.spec_from_file_location(
+            "ref_mfnet_3d", os.path.join(pkg_dir, "mfnet_3d.py"))
+        mfnet_3d = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mfnet_3d)
+    finally:
+        sys.path.remove(pkg_dir)
+    return mfnet_3d, initializer
+
+
+def test_mfnet_forward_parity():
+    mfnet_3d, _ = _load_ref_mfnet()
+    tm = mfnet_3d.MFNET_3D(num_classes=15)
+    fm = get_model_class("mfnet")(num_classes=15)
+    # MFNet stem downsamples T by 2 and pools (8,*) adaptively; 8 frames ok
+    _compare("mfnet", tm, fm, shape=(1, 8, 64, 64, 3))
+
+
+def test_mfnet_2d_inflation_matches_reference():
+    """inflate_2d_state_dict reproduces the reference's
+    init_3d_from_2d_dict (models/mfnet/initializer.py:54-136) on a synthetic
+    2D state dict: same tensors loaded, forward outputs match."""
+    import torch
+    from rspnet_tpu.models.torch_bridge import inflate_2d_state_dict
+
+    mfnet_3d, initializer = _load_ref_mfnet()
+    tm = mfnet_3d.MFNET_3D(num_classes=6)
+    tm.eval()
+
+    # synthesize a "2D ImageNet" dict: 4D conv kernels + BN params with the
+    # 3D names (that is the real MFNet2D layout), classifier-named head
+    rng = np.random.RandomState(3)
+    sd2d = {}
+    for k, v in tm.state_dict().items():
+        a = v.detach().numpy()
+        if k.endswith("conv.weight") and a.ndim == 5:
+            o, i, kt, kh, kw = a.shape
+            sd2d[k] = rng.randn(o, i, kh, kw).astype(np.float32)
+        elif k.startswith("fc."):
+            # 2D net's head is named 'classifier' and has 1000 classes —
+            # must be skipped by both implementations
+            shape = (1000, a.shape[-1]) if a.ndim == 2 else (1000,)
+            sd2d["classifier." + k.split(".", 1)[1]] = (
+                rng.randn(*shape).astype(np.float32))
+        elif "num_batches_tracked" not in k:
+            sd2d[k] = rng.randn(*a.shape).astype(np.float32) if a.ndim else a
+    # The reference initializer's torch calls predate torch 1.0
+    # (copy_(..., broadcast=True) no longer exists), so apply its documented
+    # semantics (initializer.py:62-68: src/kt replicated kt times along the
+    # temporal dim; kt==1 kernels reshaped; exact-shape params copied)
+    # directly to the torch model.
+    filled = {}
+    for k, v in tm.state_dict().items():
+        if k in sd2d and sd2d[k].shape == tuple(v.shape):
+            filled[k] = torch.from_numpy(np.asarray(sd2d[k]).reshape(v.shape))
+        elif k in sd2d and np.asarray(sd2d[k]).ndim == 4 and v.ndim == 5:
+            src = np.asarray(sd2d[k])
+            kt = v.shape[2]
+            if kt == 1:
+                filled[k] = torch.from_numpy(src.reshape(v.shape))
+            else:
+                filled[k] = torch.from_numpy(np.ascontiguousarray(
+                    np.broadcast_to((src / float(kt))[:, :, None],
+                                    tuple(v.shape))))
+        else:
+            filled[k] = v  # head / untouched keys keep current init
+    tm.load_state_dict(filled)
+
+    fm = get_model_class("mfnet")(num_classes=6)
+    variables, x = _init(fm, (1, 8, 64, 64, 3))
+    inflated, loaded, _ = inflate_2d_state_dict(variables, sd2d, "mfnet")
+    assert len(loaded) > 100  # every conv + BN tensor loaded
+
+    # tensor-level parity for everything the reference loaded
+    ref_params, ref_stats, _ = torch_to_flax(_torch_state_numpy(tm), "mfnet")
+    for coll, ref_tree in (("params", ref_params), ("batch_stats", ref_stats)):
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref_tree)
+        flat_new = dict(jax.tree_util.tree_leaves_with_path(inflated[coll]))
+        for path, ref_v in flat_ref:
+            if "fc" in jax.tree_util.keystr(path):
+                continue  # head stays at (different) random init in each
+            np.testing.assert_allclose(
+                np.asarray(flat_new[path]), np.asarray(ref_v),
+                atol=1e-6, err_msg=jax.tree_util.keystr(path))
+
+    # forward parity (heads differ => compare pre-head features)
+    with torch.no_grad():
+        tfeat = tm.tail(tm.conv5(tm.conv4(tm.conv3(tm.conv2(tm.maxpool(
+            tm.conv1(torch.from_numpy(np.transpose(
+                np.random.RandomState(0).randn(1, 8, 64, 64, 3)
+                .astype(np.float32), (0, 4, 1, 2, 3)).copy()))))))))
+    ofeat = fm.apply(inflated, jnp.asarray(
+        np.random.RandomState(0).randn(1, 8, 64, 64, 3).astype(np.float32)),
+        train=False, method="features")
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ofeat), (0, 4, 1, 2, 3)),
+        tfeat.numpy(), atol=1e-4, rtol=1e-4)
+
+
 def test_roundtrip_flax_to_torch():
     """flax -> torch -> flax preserves every mapped tensor exactly."""
     m = get_model_class("resnet18")(num_classes=5)
