@@ -54,6 +54,13 @@ class PipelineConfig:
     # process workers sidestep the GIL for Python-heavy sample paths;
     # threads suffice for real video (C decode releases the GIL)
     use_processes: bool = False
+    # multi-host: each JAX process loads only its slice of every global
+    # batch (replaces the reference's DistributedSampler sharding,
+    # datasets/classification/__init__.py:130). The epoch permutation is
+    # computed identically on every host (same seed), so shards are
+    # disjoint and exhaustive by construction.
+    process_index: int = 0
+    process_count: int = 1
 
 
 
@@ -183,6 +190,16 @@ class VideoDataLoader:
         B = c.batch_size
         n_batches = len(self)
 
+        # multi-host shard: of every global batch [b*B, (b+1)*B), this host
+        # assembles rows [pi*B_local, (pi+1)*B_local). Sample seeds key off
+        # the GLOBAL position k, so the data is identical to a 1-host run.
+        if B % c.process_count != 0:
+            raise ValueError(
+                f"global batch {B} not divisible by process_count "
+                f"{c.process_count}")
+        b_local = B // c.process_count
+        lo = c.process_index * b_local
+
         if c.use_processes:
             import functools
             import multiprocessing as mp
@@ -202,24 +219,25 @@ class VideoDataLoader:
                 return self._load_sample(idx, rng), k < len(indices)
             pool_cls = ThreadPoolExecutor
 
-        total = n_batches * B
+        local_ks = [b * B + lo + j
+                    for b in range(n_batches) for j in range(b_local)]
         with pool_cls(max_workers=max(1, c.num_workers)) as pool:
-            depth = max(2 * c.num_workers, B)
-            futures = {k: pool.submit(job, k)
-                       for k in range(min(depth, total))}
+            depth = max(2 * c.num_workers, b_local)
+            futures = {p: pool.submit(job, local_ks[p])
+                       for p in range(min(depth, len(local_ks)))}
             batch_clips: List[List[np.ndarray]] = [[] for _ in range(c.num_clips)]
             labels: List[int] = []
             mask: List[bool] = []
-            for k in range(total):
-                (clips, label), valid = futures.pop(k).result()
-                nxt = k + len(futures) + 1
-                if nxt < total:
-                    futures[nxt] = pool.submit(job, nxt)
+            for p in range(len(local_ks)):
+                (clips, label), valid = futures.pop(p).result()
+                nxt = p + len(futures) + 1
+                if nxt < len(local_ks):
+                    futures[nxt] = pool.submit(job, local_ks[nxt])
                 for ci, clip in enumerate(clips):
                     batch_clips[ci].append(clip)
                 labels.append(label)
                 mask.append(valid)
-                if len(labels) == B:
+                if len(labels) == b_local:
                     yield {
                         "clips": [np.stack(bc) for bc in batch_clips],
                         "labels": np.asarray(labels, np.int32),
@@ -286,6 +304,15 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
         seed=cfg_tree.get_int("seed", 0),
         use_processes=cfg_tree.get_bool("use_process_workers", False),
     )
+    # multi-host: shard every global batch across JAX processes (the
+    # reference's DistributedSampler, classification/__init__.py:130)
+    try:
+        import jax
+        cfg.process_index = jax.process_index()
+        cfg.process_count = jax.process_count()
+    except ImportError:  # host-only usage (offline tooling)
+        pass
+
     catalog = catalog or build_catalog(cfg_tree, split)
     return VideoDataLoader(catalog, cfg)
 

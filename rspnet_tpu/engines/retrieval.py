@@ -123,10 +123,14 @@ class RetrievalEngine:
                          batch["clips"][0].shape[0], np.float32),
                 size=(self.size, self.size), mean=mean, std=std)
             f = self._feature_fn(self.state, shard_batch(clips, self.mesh))
-            f = np.asarray(f)
-            m = batch["mask"]
+            # multi-host: every host needs the full feature matrix for the
+            # cosine retrieval, so gather batch shards (and the loaders'
+            # per-host label/mask slices) across processes
+            f = fetch_global(f, self.mesh)
+            m = fetch_global(batch["mask"], self.mesh)
+            labels_g = fetch_global(batch["labels"], self.mesh)
             feats.append(f[m])
-            labels.append(batch["labels"][m])
+            labels.append(labels_g[m])
             if self.debug and i >= 2:
                 break
         feats = np.concatenate(feats)

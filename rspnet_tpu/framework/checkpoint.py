@@ -96,6 +96,13 @@ class CheckpointManager:
         self.milestone = milestone
 
     def save(self, state: Dict[str, Any], is_best: bool, epoch: int) -> None:
+        try:
+            import jax
+            if jax.process_index() != 0:
+                return  # rank-0-only writer (reference pretrain.py:238-260);
+                # state is replicated, so process 0's copy is the state
+        except ImportError:
+            pass
         checkpoint_path = self.experiment_dir / self.filename
         temp_path = self.experiment_dir / f".next.{self.filename}"
 

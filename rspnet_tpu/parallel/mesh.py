@@ -75,17 +75,44 @@ def data_parallel_specs(mesh: Mesh, axis: str = "data"):
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch sharded over the mesh's data axis."""
+    """Place a host batch sharded over the mesh's data axis.
+
+    Single-process: ``batch`` is the global batch; device_put scatters it.
+    Multi-process: each host passes only its LOCAL slice (the loader shards
+    every global batch by ``jax.process_index()``, data/pipeline.py) and
+    the global array is assembled from process-local data — the TPU-native
+    replacement for the reference's DistributedSampler + per-rank loaders.
+    """
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate_to_mesh(tree, mesh: Mesh):
-    """Place a pytree fully replicated over the mesh."""
+    """Place a pytree fully replicated over the mesh (every process must
+    pass the same values in multi-host)."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
+
+
+def fetch_global(x, mesh: Mesh) -> np.ndarray:
+    """Device -> host fetch of a (possibly batch-sharded) global array that
+    is valid on every process: multi-host inserts an all-gather so each
+    host sees the full array (used by retrieval feature export); single
+    host is a plain device_get."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def local_shard(global_batch_size: int, mesh: Mesh, axis: str = "data") -> int:

@@ -131,3 +131,41 @@ def test_process_mode_matches_thread_mode():
         np.testing.assert_array_equal(x["labels"], y["labels"])
         for cx, cy in zip(x["clips"], y["clips"]):
             np.testing.assert_array_equal(cx, cy)
+
+
+def test_multihost_loader_shards_are_exact_slices():
+    """With process_count=2, each host loads exactly its half of every
+    global batch, and the union reproduces the single-host epoch bit-for-bit
+    (replaces the reference's DistributedSampler sharding,
+    datasets/classification/__init__.py:130)."""
+    full = list(_loader(train=True, n=12, batch=4))
+    shards = [list(_loader(train=True, n=12, batch=4,
+                           process_index=p, process_count=2))
+              for p in (0, 1)]
+    assert len(full) == len(shards[0]) == len(shards[1]) == 3
+    for b, (fb, s0, s1) in enumerate(zip(full, *shards)):
+        np.testing.assert_array_equal(
+            fb["labels"], np.concatenate([s0["labels"], s1["labels"]]))
+        np.testing.assert_array_equal(
+            fb["clips"][0], np.concatenate([s0["clips"][0],
+                                            s1["clips"][0]]))
+        assert s0["clips"][0].shape[0] == 2
+
+
+def test_multihost_loader_eval_padding():
+    """Validation tail padding masks stay consistent across host shards."""
+    full = list(_loader(train=False, n=5, batch=4))
+    shards = [list(_loader(train=False, n=5, batch=4,
+                           process_index=p, process_count=2))
+              for p in (0, 1)]
+    gmask = np.concatenate([np.concatenate([a["mask"], b["mask"]])
+                            for a, b in zip(*shards)])
+    np.testing.assert_array_equal(
+        gmask, np.concatenate([b["mask"] for b in full]))
+    assert gmask.sum() == 5
+
+
+def test_multihost_loader_rejects_indivisible_batch():
+    loader = _loader(train=True, n=12, batch=5, process_count=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        next(iter(loader))
