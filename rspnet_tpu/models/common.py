@@ -29,11 +29,73 @@ def _pad3(p) -> Sequence[Tuple[int, int]]:
     return [(p[0], p[0]), (p[1], p[1]), (p[2], p[2])]
 
 
+class SubBatchNorm(nn.Module):
+    """Split-batch normalization (reference: models/slowfast/
+    batchnorm_helper.py:36-108, SubBatchNorm3d).
+
+    Training statistics are computed over each of ``num_splits`` interleaved
+    subsets of the local batch (sample i belongs to split ``i % num_splits``,
+    matching the reference's channel-folding view); one affine pair is
+    shared. Running stats are kept per split; evaluation uses the aggregate
+    (mean of means, mean of vars plus the between-split variance) — the
+    reference computes this in an explicit ``aggregate_stats()`` call before
+    eval, here it is applied on the fly so no sync step exists to forget.
+
+    Per-replica by design: the reference's sync path raises
+    (batchnorm_helper.py:25-29), so there is deliberately no cross-replica
+    psum here — use plain BatchNorm with ``axis_name`` for that.
+    """
+    num_splits: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+
+        k = self.num_splits
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((k, c), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((k, c), jnp.float32))
+
+        xf = x.astype(jnp.float32)
+        if train:
+            n = x.shape[0]
+            if n % k:
+                raise ValueError(
+                    f"SubBatchNorm: batch {n} not divisible by "
+                    f"num_splits {k}")
+            xs = xf.reshape(n // k, k, *x.shape[1:])
+            m = jnp.mean(xs, axis=(0, 2, 3, 4))          # [k, c]
+            v = jnp.var(xs, axis=(0, 2, 3, 4))
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * m)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * v)
+            xs = (xs - m[None, :, None, None, None, :]) * jax.lax.rsqrt(
+                v[None, :, None, None, None, :] + self.epsilon)
+            xf = xs.reshape(x.shape)
+        else:
+            m = jnp.mean(ra_mean.value, axis=0)
+            v = (jnp.mean(ra_var.value, axis=0)
+                 + jnp.mean((ra_mean.value - m) ** 2, axis=0))
+            xf = (xf - m) * jax.lax.rsqrt(v + self.epsilon)
+        out = xf * scale + bias
+        return out.astype(self.dtype or x.dtype)
+
+
 class ConvBN(nn.Module):
     """Conv3d (+ optional BN, + optional ReLU), torch-parity hyperparams.
 
     Matches torch Conv3d(padding=p) + BatchNorm3d(momentum=m, eps=e):
-    flax momentum = 1 - torch momentum.
+    flax momentum = 1 - torch momentum. ``bn_splits > 1`` swaps the norm for
+    SubBatchNorm (split-batch stats, per-replica).
     """
     features: int
     kernel_size: Union[int, Tuple[int, int, int]]
@@ -44,6 +106,7 @@ class ConvBN(nn.Module):
     activation: bool = True
     bn_momentum: float = 0.9       # torch default 0.1
     bn_eps: float = 1e-5
+    bn_splits: int = 1
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
     kernel_init: Any = nn.initializers.variance_scaling(
@@ -61,7 +124,15 @@ class ConvBN(nn.Module):
             kernel_init=self.kernel_init,
             name="conv",
         )(x)
-        if self.use_bn:
+        if self.use_bn and self.bn_splits > 1:
+            x = SubBatchNorm(
+                num_splits=self.bn_splits,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_eps,
+                dtype=self.dtype,
+                name="bn",
+            )(x, train)
+        elif self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=self.bn_momentum,

@@ -38,9 +38,118 @@ def test_slowfast_variants(name, two_path):
     y = m.apply(v, x, train=False)
     assert y.shape == (1, 7)
     assert m.feature_dim == (2304 if two_path else 2048)
-    # slow pathway subsamples T by alpha
+    # slow pathway subsamples T by alpha; C2D temporal-pools by 2 after res2
     f = m.apply(v, x, train=False, method="features")
-    assert f.shape[1] == (4 if two_path else 32)
+    assert f.shape[1] == (4 if two_path else
+                          (16 if name.startswith("C2D") else 32))
+    # stem spatial max-pool + 3 stage strides => /32 total (64px -> 2px)
+    assert f.shape[2] == f.shape[3] == 2
+
+
+def test_slowfast_all_specs_smoke():
+    """Every spec in the table initializes and runs a forward pass."""
+    from rspnet_tpu.models.slowfast import SPECS
+    for name in sorted(SPECS):
+        m = get_model_class(name)(num_classes=3)
+        t = 16 if "16x8" in name else 8
+        x = jnp.zeros((1, t, 32, 32, 3), jnp.float32)
+        v = m.init({"params": KEY}, x, train=False)
+        y = m.apply(v, x, train=False)
+        assert y.shape == (1, 3), name
+
+
+def test_slowfast_specs_match_reference_yamls():
+    """The static SPECS table equals what spec_from_yaml derives from every
+    reference YAML it covers (config/slowfast-configs/Kinetics{,/c2})."""
+    import glob
+    import os
+
+    from tests.conftest import REFERENCE_ROOT
+    from rspnet_tpu.models.slowfast import SPECS, spec_from_yaml
+
+    pattern = os.path.join(REFERENCE_ROOT,
+                           "config/slowfast-configs/Kinetics/**/*.yaml")
+    paths = sorted(glob.glob(pattern, recursive=True))
+    if not paths:
+        pytest.skip("reference repo not mounted")
+    checked = 0
+    for p in paths:
+        name = os.path.splitext(os.path.basename(p))[0]
+        base = name.replace("_IN1K", "")  # IN1K twins differ only in solver
+        if base not in SPECS:
+            continue
+        derived = spec_from_yaml(p, name=base)
+        assert derived == SPECS[base], f"{base} diverges from {p}"
+        checked += 1
+    assert checked >= 20  # every yaml (R50+R101+c2 variants) is covered
+
+
+def test_sub_batchnorm_matches_reference_semantics():
+    """SubBatchNorm: per-split training stats (sample i -> split i%k, the
+    reference's channel-folding view, batchnorm_helper.py:102-105) and
+    mean-of-means + between-split-variance aggregation at eval
+    (batchnorm_helper.py:68-96)."""
+    from rspnet_tpu.models.common import SubBatchNorm
+
+    k, n, c = 2, 4, 3
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, 2, 4, 4, c).astype(np.float32))
+    m = SubBatchNorm(num_splits=k, momentum=0.0)  # running <- batch stats
+    v = m.init({"params": KEY}, x, train=False)
+    y, mut = m.apply(v, x, train=True, mutable=["batch_stats"])
+
+    xs = np.asarray(x).reshape(n // k, k, 2, 4, 4, c)
+    mean = xs.mean(axis=(0, 2, 3, 4))
+    var = xs.var(axis=(0, 2, 3, 4))
+    expect = (xs - mean[None, :, None, None, None]) / np.sqrt(
+        var[None, :, None, None, None] + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), expect.reshape(x.shape),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"]), mean,
+                               rtol=1e-5, atol=1e-6)
+
+    # eval: aggregated running stats
+    y_eval = m.apply({"params": v["params"], "batch_stats":
+                      mut["batch_stats"]}, x, train=False)
+    agg_m = mean.mean(0)
+    agg_v = var.mean(0) + ((mean - agg_m) ** 2).mean(0)
+    expect_eval = (np.asarray(x) - agg_m) / np.sqrt(agg_v + 1e-5)
+    np.testing.assert_allclose(np.asarray(y_eval), expect_eval,
+                               rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        m.apply(v, x[:3], train=True, mutable=["batch_stats"])
+
+
+def test_slowfast_sub_batchnorm_variant_runs():
+    """norm_type='sub_batchnorm' is wired through every BN in the net."""
+    import dataclasses
+
+    from rspnet_tpu.models.slowfast import SPECS, SlowFast
+
+    spec = dataclasses.replace(SPECS["SLOWFAST_4x16_R50"],
+                               norm_type="sub_batchnorm", bn_num_splits=2)
+    m = SlowFast(spec=spec, num_classes=3)
+    x = jnp.zeros((2, 8, 32, 32, 3), jnp.float32)
+    v = m.init({"params": KEY}, x, train=False)
+    # split running stats are per-split: [k, c]
+    stem_stats = v["batch_stats"]["slow"]["stem"]["bn"]["mean"]
+    assert stem_stats.shape == (2, 64)
+    y, _ = m.apply(v, x, train=True, mutable=["batch_stats"],
+                   rngs={"dropout": KEY})
+    assert y.shape == (2, 3)
+
+
+def test_slowfast_spec_from_user_yaml(tmp_path):
+    """arch='slowfast' + cfg_file honors a user pyslowfast YAML (the
+    reference's yacs surface)."""
+    y = tmp_path / "my.yaml"
+    y.write_text(
+        "MODEL:\n  ARCH: slowfast\nSLOWFAST:\n  ALPHA: 4\n"
+        "  FUSION_KERNEL_SZ: 7\nRESNET:\n  DEPTH: 50\n")
+    ctor = get_model_class("slowfast", cfg_file=str(y))
+    m = ctor(num_classes=5)
+    assert m.spec.alpha == 4 and m.spec.fusion_kernel == 7
 
 
 def test_slowfast_nonlocal_adds_params():
