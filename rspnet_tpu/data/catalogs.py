@@ -181,18 +181,25 @@ class Synthetic:
     """
 
     def __init__(self, num_samples=256, num_classes=10, split="train",
-                 num_frames=64, height=128, width=171):
+                 num_frames=64, height=128, width=171,
+                 class_mode="direction"):
         base = 0 if split == "train" else 10 ** 6
         self.num_classes = num_classes
         self.num_frames = num_frames
         self.height = height
         self.width = width
-        self.samples = [
-            Sample(f"synthetic://{base + i}?frames={num_frames}"
-                   f"&h={height}&w={width}&cls={i % num_classes}",
-                   i % num_classes)
-            for i in range(num_samples)
-        ]
+        self.samples = []
+        for i in range(num_samples):
+            cls = i % num_classes
+            url = (f"synthetic://{base + i}?frames={num_frames}"
+                   f"&h={height}&w={width}&cls={cls}")
+            if class_mode == "speed":
+                # class carries only the movement speed — invariant to
+                # flips/crops/color augs, the RSP-transfer probe target
+                url += f"&speed={0.4 + 0.5 * cls:.3f}"
+            elif class_mode != "direction":
+                raise ValueError(f"unknown class_mode {class_mode!r}")
+            self.samples.append(Sample(url, cls))
 
     def __len__(self):
         return len(self.samples)
@@ -225,5 +232,6 @@ def build_catalog(cfg, split: str):
             split=split,
             num_frames=cfg.get_int("dataset.num_frames", 64),
             height=cfg.get_int("dataset.height", 128),
-            width=cfg.get_int("dataset.width", 171))
+            width=cfg.get_int("dataset.width", 171),
+            class_mode=cfg.get_string("dataset.class_mode", "direction"))
     raise ValueError(f"Unknown dataset {name!r}")

@@ -43,8 +43,18 @@ class VideoReaderBase:
 
 class SyntheticVideoReader(VideoReaderBase):
     """Deterministic procedural video: a bright square moves across a noisy
-    background; direction is keyed by the class id in the URL so the data is
-    learnable."""
+    background. The class signal is MOTION-ONLY — color statistics are
+    class-independent (class-coded colors would leak label information that
+    color-invariance augmentation then destroys, confounding any transfer
+    experiment).
+
+    Two class modes, selected by the URL:
+    - direction (default): movement angle = 2*pi*cls/10; speed fixed.
+    - speed (``&speed=<v>`` present): movement speed carries the class;
+      direction is instance-specific (seed-derived). Speed survives flips,
+      crops, and every color augmentation, so it is the right probe target
+      for RSP (relative speed) pretraining transfer.
+    """
 
     def __init__(self, url: str):
         q = urllib.parse.urlparse(url)
@@ -57,9 +67,13 @@ class SyntheticVideoReader(VideoReaderBase):
         self.fps = 30.0
         rng = np.random.RandomState(self.seed % (2 ** 31))
         self._bg = rng.randint(0, 80, (self.height, self.width, 3), np.uint8)
-        # direction angle from class id
-        ang = 2 * np.pi * self.cls / 10.0
-        self._vel = np.array([np.sin(ang), np.cos(ang)])
+        if "speed" in params:
+            speed = float(params["speed"])
+            ang = rng.rand() * 2 * np.pi          # instance, not class
+        else:
+            speed = 0.8
+            ang = 2 * np.pi * self.cls / 10.0     # direction = class
+        self._vel = np.array([np.sin(ang), np.cos(ang)]) * speed
         self._start = rng.rand(2) * 0.5 + 0.25
 
     def get_batch(self, indices) -> np.ndarray:
@@ -70,13 +84,14 @@ class SyntheticVideoReader(VideoReaderBase):
         out = np.broadcast_to(self._bg, (n, self.height, self.width, 3)).copy()
         # square position at time t (bounces off walls via reflection)
         ts = indices.astype(np.float64)[:, None]
-        pos = self._start + self._vel * (ts / self.num_frames) * 0.8
+        pos = self._start + self._vel * (ts / self.num_frames)
         pos = np.abs(np.mod(pos, 2.0) - 1.0)      # reflect into [0, 1]
         cy = (pos[:, 0] * (self.height - size)).astype(int)
         cx = (pos[:, 1] * (self.width - size)).astype(int)
+        # class-independent color (varies only with frame index)
         colors = np.stack([200 + (indices % 3) * 10,
                            np.full(n, 180),
-                           np.full(n, 60 + self.cls * 15)], axis=1)
+                           60 + (indices % 5) * 10], axis=1)
         for i in range(n):
             out[i, cy[i]:cy[i] + size, cx[i]:cx[i] + size] = colors[i]
         return out

@@ -169,3 +169,36 @@ def test_multihost_loader_rejects_indivisible_batch():
     loader = _loader(train=True, n=12, batch=5, process_count=2)
     with pytest.raises(ValueError, match="not divisible"):
         next(iter(loader))
+
+
+def test_synthetic_speed_mode_motion_only():
+    """Speed-mode classes differ ONLY in motion: identical square colors for
+    the same frame index, different displacement between frames."""
+    from rspnet_tpu.data.catalogs import Synthetic
+    cat = Synthetic(num_samples=4, num_classes=4, class_mode="speed",
+                    num_frames=32, height=64, width=64)
+    assert "speed=" in cat[0].video_path
+    slow = SyntheticVideoReader(cat[0].video_path)   # cls 0, slowest
+    fast = SyntheticVideoReader(cat[3].video_path)   # cls 3, fastest
+    f_slow = slow.get_batch([0, 4])
+    f_fast = fast.get_batch([0, 4])
+    # identical color palettes (class-independent)
+    assert set(np.unique(f_slow)) == set(np.unique(f_fast))
+
+    def displacement(fr):
+        ys, xs = np.where(fr[..., 1] == 180)
+        return np.array([ys.mean(), xs.mean()])
+
+    d_slow = np.linalg.norm(displacement(f_slow[1]) - displacement(f_slow[0]))
+    d_fast = np.linalg.norm(displacement(f_fast[1]) - displacement(f_fast[0]))
+    assert d_fast > 2 * d_slow > 0
+
+
+def test_synthetic_direction_mode_color_is_class_independent():
+    """Direction mode must not leak the class through color."""
+    a = SyntheticVideoReader("synthetic://1?frames=16&h=48&w=48&cls=1")
+    b = SyntheticVideoReader("synthetic://1?frames=16&h=48&w=48&cls=7")
+    fa, fb = a.get_batch([0]), b.get_batch([0])
+    # same seed, same frame index => same background AND same square color;
+    # only the square position may differ
+    assert set(np.unique(fa)) == set(np.unique(fb))
