@@ -1,12 +1,29 @@
 """Benchmark: S3D-G MoCo dual-speed pretrain throughput, clips/sec/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Methodology
-- The hot path is the fused sharded train step (rspnet_tpu/moco/builder.py):
-  EMA + dual-speed gather + 2 no-grad key passes + 1 grad query pass +
-  backward + SGD + queue update, identical to the reference's per-step work
-  (reference: moco/builder_diffspeed_diffloss.py:492-546, pretrain.py:154).
+Three phases, all on the same fused sharded train step
+(rspnet_tpu/moco/builder.py — EMA + dual-speed gather + 2 no-grad key
+passes + 1 grad query pass + backward + SGD + queue update, the same
+per-step work as the reference: moco/builder_diffspeed_diffloss.py:492-546,
+pretrain.py:154):
+
+1. **step**: device-resident inputs, 30 timed steps. This is the headline
+   `value` (round-1 comparable) — the model/step throughput ceiling.
+2. **e2e**: the REAL input pipeline — decode workers (synthetic backend)
+   -> fused on-device augment (device-geometry: crop+resize on chip,
+   ops/augment.py) -> H2D -> train step, over 16 measured batches.
+   Reported as `e2e_clips_per_sec_per_chip` plus its fraction of the
+   input bound: `e2e_frac_of_input_bound` close to 1.0 means the pipeline
+   runs at this environment's input speed of light and the remaining gap
+   to the step rate is transfer bandwidth, not framework overhead.
+3. **h2d probe**: fresh uint8 batch transfers, host->device MB/s. The
+   tunneled bench chip bursts ~1.5 GB/s for the first ~4.5 GB, then
+   settles at ~0.1 GB/s (relay flow control); phase 2 deliberately runs
+   inside the burst window so it measures the pipeline software, not the
+   relay. A real TPU host feeds PCIe at tens of GB/s with no cliff. Both
+   rates and the implied clips/s input bounds are reported.
+
 - Model: S3D-G (BASELINE.json headline), bf16 compute, batch sharded over
   all local chips. Input 32x112x112 raw (dual-speed subsamples to 16 frames
   on device), matching config/pretrain/s3dg.jsonnet semantics at crop 112.
@@ -17,10 +34,14 @@ Methodology
   the PyTorch-1.6 RSPNet S3D-G estimate on A100 (batch 64, 2x16x224^2 in
   the paper config takes ~0.75 s/step on A100-40G-class hardware). The
   driver target is vs_baseline >= 4.
+
+Env knobs: RSPNET_BENCH_SKIP_E2E=1 (phase 1 only), RSPNET_BENCH_WORKERS=n,
+RSPNET_BENCH_PROCS=1 (process decode workers).
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 A100_BASELINE_CLIPS_PER_SEC = 85.0
@@ -34,7 +55,8 @@ def main():
 
     from rspnet_tpu.models import get_model_class
     from rspnet_tpu.moco import (MoCoConfig, MultiTaskWrapper,
-                                 init_moco_state, make_sharded_train_step)
+                                 init_moco_state, make_sharded_train_step,
+                                 packed_frame_subset)
     from rspnet_tpu.parallel import create_mesh, replicate_to_mesh, shard_batch
 
     n_chips = jax.device_count()
@@ -43,9 +65,14 @@ def main():
     batch_per_chip = 32   # sweep: 32 gives ~13% more clips/s than 16 on v5e
     b_global = batch_per_chip * n_chips
     T, S = 32, 112
+    # packed dual-speed loading: only the 24 of 32 window positions either
+    # speed can touch are decoded/shipped (bit-identical math, 25% less
+    # decode + H2D; tests/test_packed_frames.py)
+    subset = packed_frame_subset(T, (2,))
+    P = len(subset)
 
     cfg = MoCoConfig(dim=128, k=16384 - 16384 % b_global, m=0.999, t=0.07,
-                     diff_speed=(2,))
+                     diff_speed=(2,), packed_frames=True, t_load=T)
     model = MultiTaskWrapper(
         encoder_factory=get_model_class("s3dg"),
         num_classes=cfg.dim, finetune=False, fc_type="linear",
@@ -59,9 +86,10 @@ def main():
     step = make_sharded_train_step(model, optimizer, cfg, mesh)
 
     rng = np.random.RandomState(0)
-    im_q = jnp.asarray(rng.rand(b_global, T, S, S, 3), jnp.float32)
-    im_k = jnp.asarray(rng.rand(b_global, T, S, S, 3), jnp.float32)
+    im_q = jnp.asarray(rng.rand(b_global, P, S, S, 3), jnp.float32)
+    im_k = jnp.asarray(rng.rand(b_global, P, S, S, 3), jnp.float32)
 
+    # ---- phase 1: device-resident step throughput ---------------------------
     with mesh:
         state = replicate_to_mesh(state, mesh)
         im_q = shard_batch(im_q, mesh)
@@ -78,14 +106,103 @@ def main():
         jax.block_until_ready(metrics["loss"])
         dt = time.perf_counter() - t0
 
-    clips_per_sec = b_global * n_steps / dt
-    per_chip = clips_per_sec / n_chips
-    print(json.dumps({
+    step_per_chip = b_global * n_steps / dt / n_chips
+    result = {
         "metric": "s3dg_moco_pretrain_clips_per_sec_per_chip",
-        "value": round(per_chip, 2),
+        "value": round(step_per_chip, 2),
         "unit": "clips/sec/chip",
-        "vs_baseline": round(per_chip / A100_BASELINE_CLIPS_PER_SEC, 3),
-    }))
+        "vs_baseline": round(step_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3),
+        "n_chips": n_chips,
+        "host_cpus": os.cpu_count(),
+    }
+
+    if os.environ.get("RSPNET_BENCH_SKIP_E2E"):
+        print(json.dumps(result))
+        return
+
+    # ---- phase 2: data-fed end-to-end ----------------------------------------
+    # Runs BEFORE the bandwidth probe so it executes inside the tunnel's
+    # burst window (see phase 3) — this measures what the pipeline software
+    # can sustain when bandwidth allows, which is the portable number.
+    # No prefetch wrapper: on this 1-vCPU host the producer thread starves
+    # dispatch (prefetch_iterator auto-disables; the loader's own decode
+    # worker threads still prefetch samples).
+    from rspnet_tpu.data.catalogs import Synthetic
+    from rspnet_tpu.data.pipeline import PipelineConfig, VideoDataLoader
+    from rspnet_tpu.ops.augment import augment_batch, sample_train_params
+
+    DH, DW = 128, 171     # decode resolution (device-geometry pipeline)
+    sample_mb = 2 * P * DH * DW * 3 / 1e6   # uint8 H2D bytes per sample
+    n_warm, n_meas = 2, 16
+    n_batches = n_warm + n_meas
+    loader_cfg = PipelineConfig(
+        clip_len=T, strides=[{"stride": 1, "weight": 1}],
+        out_size=S, crop_area=(0.4, 1.0), num_clips=2,
+        batch_size=b_global, train=True,
+        num_workers=int(os.environ.get("RSPNET_BENCH_WORKERS", "2")),
+        use_processes=bool(os.environ.get("RSPNET_BENCH_PROCS")),
+        device_geometry=True, frame_subset=subset, seed=0)
+    catalog = Synthetic(num_samples=n_batches * b_global, num_classes=10,
+                        num_frames=64, height=DH, width=DW)
+    loader = VideoDataLoader(catalog, loader_cfg)
+    aug_rng = np.random.default_rng(0)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+
+    def device_batch(clip_u8):
+        p = sample_train_params(
+            aug_rng, clip_u8.shape[0], [(DH, DW)], crop_area=(0.4, 1.0),
+            h_flip=0.5, gray_p=0.2, jitter=(0.4, 0.4, 0.4, 0.4))
+        x = augment_batch(jnp.asarray(clip_u8), p.boxes, p.flip, p.jitter,
+                          p.order, p.gray, p.blur, size=(S, S),
+                          mean=mean, std=std)
+        return shard_batch(x, mesh)
+
+    with mesh:
+        key = jax.random.PRNGKey(100)
+        t_start = None
+        done = 0
+        for i, batch in enumerate(loader):
+            clip_q = device_batch(batch["clips"][0])
+            clip_k = device_batch(batch["clips"][1])
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, clip_q, clip_k, sub)
+            if i + 1 == n_warm:
+                jax.block_until_ready(metrics["loss"])
+                t_start = time.perf_counter()
+            elif i + 1 > n_warm:
+                done += b_global
+        jax.block_until_ready(metrics["loss"])
+        e2e_dt = time.perf_counter() - t_start
+
+    e2e_per_chip = done / e2e_dt / n_chips
+    result["e2e_clips_per_sec_per_chip"] = round(e2e_per_chip, 2)
+    result["e2e_vs_baseline"] = round(
+        e2e_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3)
+
+    # ---- phase 3: H2D bandwidth probe (burst + sustained) --------------------
+    # The tunneled chip takes ~1.5 GB/s for the first ~4.5 GB (relay burst
+    # buffer), then settles at ~0.1 GB/s. A real TPU host feeds PCIe at
+    # tens of GB/s with no such cliff, so the sustained cap is an
+    # environment property, reported so the e2e number can be judged
+    # against the input bound rather than against the compute rate.
+    buf = np.random.randint(0, 255, (b_global, P, DH, DW, 3), np.uint8)
+    jax.block_until_ready(jax.device_put(buf))  # warm the path
+    rates = []
+    for i in range(72):   # ~4.8 GB: rides past the burst window
+        buf[0, 0, 0, 0, 0] += 1
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf))
+        rates.append(buf.nbytes / 1e6 / (time.perf_counter() - t0))
+    burst = max(np.mean(rates[:8]), np.mean(rates[:4]))
+    sustained = float(np.mean(rates[-12:]))
+    result["h2d_burst_mb_per_sec"] = round(float(burst), 1)
+    result["h2d_sustained_mb_per_sec"] = round(sustained, 1)
+    result["e2e_input_bound_clips_per_sec"] = round(burst / sample_mb, 1)
+    result["e2e_sustained_tunnel_bound_clips_per_sec"] = round(
+        sustained / sample_mb, 1)
+    result["e2e_frac_of_input_bound"] = round(
+        e2e_per_chip * n_chips / (burst / sample_mb), 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -44,6 +44,21 @@ class PipelineConfig:
     # spatial
     out_size: int = 112
     crop_area: Tuple[float, float] = (0.25, 1.0)
+    # device geometry: workers return clips at DECODE resolution and the
+    # spatial crop+resize runs on-device inside the fused augment (the
+    # boxes argument of ops.augment.augment_batch / eval_preprocess). This
+    # removes the per-frame cv2.resize loop from the host hot path — the
+    # dominant host cost (~25ms/sample vs ~6ms decode on a 1-vCPU host) —
+    # at the price of shipping decode-res pixels over H2D. Requires every
+    # video in the dataset to decode to ONE fixed (H, W) (synthetic, or a
+    # fixed-size transcode); np.stack raises otherwise.
+    device_geometry: bool = False
+    # packed dual-speed loading: positions WITHIN the temporal window to
+    # actually decode/ship (moco.builder.packed_frame_subset). For
+    # diff_speed=(2,) and clip_len=32 this is 24 of 32 positions — 25%
+    # less decode work and host->device bytes, bit-identical training
+    # (the in-step gather addresses packed positions).
+    frame_subset: Optional[Sequence[int]] = None
     # pipeline
     num_clips: int = 1                  # clips per sample (2 for MoCo)
     batch_size: int = 16
@@ -100,6 +115,9 @@ def _load_one(catalog, cfg: "PipelineConfig", index: int,
                                              c.frame_rate)
         temporal = _build_temporal_for(c, rng)
         clip_indices = [temporal(frame_indices) for _ in range(c.num_clips)]
+        if c.frame_subset is not None:
+            sub = np.asarray(c.frame_subset)
+            clip_indices = [ci[sub] for ci in clip_indices]
         all_idx = np.concatenate(clip_indices)
         frames = vr.get_batch(all_idx)  # one decode pass (reference :75)
 
@@ -109,6 +127,12 @@ def _load_one(catalog, cfg: "PipelineConfig", index: int,
     for ci in clip_indices:
         clip = frames[ofs:ofs + len(ci)]
         ofs += len(ci)
+        if c.device_geometry:
+            # geometry moves on-device: ship the decode-res window as-is;
+            # the engine samples crop boxes (same distribution) and the
+            # fused augment does crop+resize in one gather
+            clips.append(np.ascontiguousarray(clip))
+            continue
         h, w = clip.shape[1:3]
         if c.train:
             i, j, bh, bw = _sample_crop_box(rng, h, w, c.crop_area)
@@ -284,8 +308,15 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
         # 273-280 — force_n_crop -> EvenNCrop(final_n_crop))
         n_crop = tt.get_int("validate.final_n_crop")
 
+    frame_subset = None
+    if vid and cfg_tree.get_bool("moco.packed_frames", False):
+        from ..moco.builder import packed_frame_subset
+        frame_subset = packed_frame_subset(
+            tt.get_int("size"), tuple(cfg_tree.get_list("moco.diff_speed")))
+
     cfg = PipelineConfig(
         clip_len=tt.get_int("size"),
+        frame_subset=frame_subset,
         frame_rate=tt.get("frame_rate", None),
         strides=[s.as_plain_dict() if hasattr(s, "as_plain_dict") else s
                  for s in tt.get_list("strides", [{"stride": 1, "weight": 1}])],
@@ -303,6 +334,7 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
         num_workers=cfg_tree.get_int("num_workers", 4),
         seed=cfg_tree.get_int("seed", 0),
         use_processes=cfg_tree.get_bool("use_process_workers", False),
+        device_geometry=cfg_tree.get_bool("device_geometry", False),
     )
     # multi-host: shard every global batch across JAX processes (the
     # reference's DistributedSampler, classification/__init__.py:130)
@@ -325,9 +357,24 @@ def prefetch_iterator(iterable, depth: int = 2):
     being built. The reference gets this from torch DataLoader's worker
     prefetching; our loader prefetches samples but assembled *batches* were
     produced synchronously with the train loop before this.
+
+    On single-CPU hosts the producer thread's numpy work starves the
+    consumer's dispatch instead of overlapping with it (measured 160 -> 29
+    clips/s on a 1-vCPU bench host), so prefetching auto-disables there.
+    Override with RSPNET_PREFETCH=<depth> (0 disables everywhere).
     """
+    import os
     import queue
     import threading
+
+    env_depth = os.environ.get("RSPNET_PREFETCH")
+    if env_depth is not None:
+        depth = int(env_depth)
+    elif (os.cpu_count() or 1) < 2:
+        depth = 0
+    if depth <= 0:
+        yield from iterable
+        return
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()

@@ -138,24 +138,34 @@ class FinetuneEngine:
         self.normalize = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
 
     # -- device preprocessing -------------------------------------------------
+    # With a device-geometry loader (pipeline.PipelineConfig.device_geometry)
+    # clips arrive at decode resolution and the crop/center box is applied
+    # on-device inside the fused program; host-geometry clips arrive
+    # pre-cropped (identity boxes).
     def _device_train_augment(self, clip_u8: np.ndarray) -> jnp.ndarray:
         B, _, H, W, _ = clip_u8.shape
-        p = sample_train_params(self.rng, B, [(H, W)], crop_area=(1.0, 1.0),
-                                h_flip=self.aug["h_flip"],
-                                gray_p=self.aug["gray_p"],
-                                jitter=self.aug["jitter"])
-        p.boxes[:] = [0, 0, H, W]
+        dev_geom = getattr(self.train_loader.cfg, "device_geometry", False)
+        p = sample_train_params(
+            self.rng, B, [(H, W)],
+            crop_area=self.train_loader.cfg.crop_area if dev_geom
+            else (1.0, 1.0),
+            h_flip=self.aug["h_flip"],
+            gray_p=self.aug["gray_p"],
+            jitter=self.aug["jitter"])
+        if not dev_geom:
+            p.boxes[:] = [0, 0, H, W]
         mean, std = self.normalize
         return augment_batch(jnp.asarray(clip_u8), p.boxes, p.flip, p.jitter,
                              p.order, p.gray, p.blur,
                              size=(self.size, self.size), mean=mean, std=std,
-                             identity_geometry=(H, W) == (self.size,
-                                                          self.size))
+                             identity_geometry=not dev_geom
+                             and (H, W) == (self.size, self.size))
 
     def _device_eval_preprocess(self, clip_u8: np.ndarray) -> jnp.ndarray:
         B, _, H, W, _ = clip_u8.shape
         p = center_crop_params(B, [(H, W)])
-        p.boxes[:] = [0, 0, H, W]
+        if not getattr(self.validate_loader.cfg, "device_geometry", False):
+            p.boxes[:] = [0, 0, H, W]
         mean, std = self.normalize
         return eval_preprocess(jnp.asarray(clip_u8), p.boxes,
                                size=(self.size, self.size), mean=mean,

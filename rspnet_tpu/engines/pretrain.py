@@ -129,29 +129,38 @@ class PretrainEngine:
     def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
 
-    # -- device-side augmentation of a pre-cropped uint8 batch ---------------
+    # -- device-side augmentation of a uint8 batch ----------------------------
+    # Host-geometry loaders pre-crop+resize to the network size (identity
+    # boxes here); device-geometry loaders ship decode-res windows and the
+    # crop box is sampled here with the VID crop_area (0.4, 1.0) and applied
+    # inside the same fused program (reference crop semantics:
+    # datasets/classification/__init__.py:174-178).
     def _augment_clip(self, clip_u8: np.ndarray) -> jnp.ndarray:
         B = clip_u8.shape[0]
         hw = [(clip_u8.shape[2], clip_u8.shape[3])]
+        dev_geom = getattr(self.train_loader.cfg, "device_geometry", False)
+        crop_area = self.train_loader.cfg.crop_area if dev_geom else (1.0, 1.0)
         if self.aug_plus:
             p = sample_train_params(
-                self.rng, B, hw, crop_area=(1.0, 1.0), h_flip=0.5,
+                self.rng, B, hw, crop_area=crop_area, h_flip=0.5,
                 gray_p=0.2, jitter=(0.4, 0.4, 0.4, 0.1), jitter_p=0.8,
                 blur_p=0.5)
             gray_first, use_blur = False, True
         else:
             p = sample_train_params(
-                self.rng, B, hw, crop_area=(1.0, 1.0), h_flip=0.5,
+                self.rng, B, hw, crop_area=crop_area, h_flip=0.5,
                 gray_p=0.2, jitter=(0.4, 0.4, 0.4, 0.4))
             gray_first, use_blur = True, False
-        # crop/resize already happened on host: identity boxes
-        p.boxes[:] = [0, 0, clip_u8.shape[2], clip_u8.shape[3]]
+        if not dev_geom:
+            # crop/resize already happened on host: identity boxes
+            p.boxes[:] = [0, 0, clip_u8.shape[2], clip_u8.shape[3]]
         mean, std = self.normalize
         return augment_batch(
             jnp.asarray(clip_u8), p.boxes, p.flip, p.jitter, p.order,
             p.gray, p.blur, size=(self.size, self.size), mean=mean, std=std,
             gray_before_jitter=gray_first, use_blur=use_blur,
-            identity_geometry=(clip_u8.shape[2], clip_u8.shape[3])
+            identity_geometry=not dev_geom
+            and (clip_u8.shape[2], clip_u8.shape[3])
             == (self.size, self.size))
 
     # -- epochs ---------------------------------------------------------------

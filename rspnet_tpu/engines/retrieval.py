@@ -20,7 +20,7 @@ import numpy as np
 from ..config import ConfigTree
 from ..framework import load_state
 from ..ops.augment import eval_preprocess
-from ..parallel import (create_mesh, mesh_for_args,
+from ..parallel import (create_mesh, fetch_global, mesh_for_args,
                         replicate_to_mesh, shard_batch)
 from .classifier import init_train_state
 from .finetune import build_classifier_model
@@ -116,11 +116,16 @@ class RetrievalEngine:
         t0 = time.perf_counter()
         mean, std = self.normalize
         for i, batch in enumerate(loader):
+            clip_u8 = batch["clips"][0]
+            B, _, H, W, _ = clip_u8.shape
+            if getattr(loader.cfg, "device_geometry", False):
+                # decode-res clips: center max crop on-device
+                from ..ops.augment import center_crop_params
+                boxes = center_crop_params(B, [(H, W)]).boxes
+            else:
+                boxes = np.array([[0, 0, H, W]] * B, np.float32)
             clips = eval_preprocess(
-                jnp.asarray(batch["clips"][0]),
-                np.array([[0, 0, batch["clips"][0].shape[2],
-                           batch["clips"][0].shape[3]]] *
-                         batch["clips"][0].shape[0], np.float32),
+                jnp.asarray(clip_u8), boxes,
                 size=(self.size, self.size), mean=mean, std=std)
             f = self._feature_fn(self.state, shard_batch(clips, self.mesh))
             # multi-host: every host needs the full feature matrix for the

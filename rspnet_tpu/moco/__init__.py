@@ -8,7 +8,7 @@ from .builder import (MoCoConfig, MoCoState, diff_speed_gather,
                       init_moco_state, make_eval_step,
                       make_sharded_eval_step, make_sharded_train_step,
                       make_train_step, moco_loss, momentum_update,
-                      queue_update, speed_index_sets)
+                      packed_frame_subset, queue_update, speed_index_sets)
 from .wrapper import MultiTaskWrapper
 
 
@@ -35,6 +35,12 @@ def build_moco_model(cfg, dtype=None, axis_name="data"):
         fc_type=cfg.get_string("moco.fc_type", "linear"),
         loss_lambda_a=cfg.get_float("loss_lambda.A", 1.0),
         loss_lambda_m=cfg.get_float("loss_lambda.M", 1.0),
+        # optional, off in all reference-parity configs: decode/ship only
+        # the packed union of dual-speed frame positions
+        packed_frames=cfg.get_bool("moco.packed_frames", False),
+        t_load=(int(cfg.get("temporal_transforms.size"))
+                if cfg.get("temporal_transforms.size", None) is not None
+                else None),
     )
     model = MultiTaskWrapper(
         encoder_factory=encoder_factory,

@@ -41,6 +41,14 @@ class MoCoConfig(NamedTuple):
     loss_lambda_m: float = 1.0
     margin: float = 2.0              # reference: pretrain.py:49-53
     alpha: float = 0.5               # batch split fraction (reference :334)
+    # packed frames: the loader ships only the UNION of frames any speed
+    # row can touch (packed_frame_subset) instead of the full T-frame
+    # window — e.g. 24 of 32 frames for diff_speed=(2,): 25% less decode
+    # and host->device traffic, bit-identical training math. When True,
+    # t_load must carry the ORIGINAL window length (temporal size) since
+    # the input's frame axis is the packed length.
+    packed_frames: bool = False
+    t_load: Optional[int] = None
 
 
 class MoCoState(NamedTuple):
@@ -111,15 +119,34 @@ def speed_index_sets(T: int, diff_speed: Sequence[int]) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
+def packed_frame_subset(T: int, diff_speed: Sequence[int]):
+    """Sorted union of window positions any speed row can touch.
+
+    For diff_speed=(2,), T=32: {0..15} ∪ {0,2,..,30} = 24 positions. The
+    loader decodes/ships only these; diff_speed_gather addresses the packed
+    axis via positions-within-subset, so the training math is bit-identical
+    to shipping all T frames.
+    """
+    import numpy as np
+    t_real = real_clip_len(T, diff_speed)
+    need = set(range(t_real))                       # speed-1 window
+    for s in diff_speed:
+        need.update(range(0, T, s)[:t_real])
+    return np.asarray(sorted(need), np.int64)
+
+
 def diff_speed_gather(im_q, im_k, key, cfg: MoCoConfig):
     """Dual-speed subsampling (reference _diff_speed :421-447).
 
-    im_q/im_k: [B, T, H, W, C]. Returns (im_q_real, im_k_real,
-    im_k_negative) each [B, T_real, H, W, C]: half the batch plays at normal
-    speed, half at the sampled fast speed; the negative key plays at the
-    *opposite* speed of its query.
+    im_q/im_k: [B, T, H, W, C] ([B, P, H, W, C] with cfg.packed_frames,
+    P = len(packed_frame_subset(cfg.t_load, diff_speed))). Returns
+    (im_q_real, im_k_real, im_k_negative) each [B, T_real, H, W, C]: half
+    the batch plays at normal speed, half at the sampled fast speed; the
+    negative key plays at the *opposite* speed of its query.
     """
-    B, T = im_q.shape[0], im_q.shape[1]
+    import numpy as np
+    B = im_q.shape[0]
+    T = cfg.t_load if cfg.packed_frames else im_q.shape[1]
     t_real = real_clip_len(T, cfg.diff_speed)
     key_perm, key_speed = jax.random.split(key)
 
@@ -130,6 +157,16 @@ def diff_speed_gather(im_q, im_k, key, cfg: MoCoConfig):
 
     speed1 = jnp.arange(T)[:t_real]                        # normal speed
     table = speed_index_sets(T, cfg.diff_speed)            # fast candidates
+    if cfg.packed_frames:
+        # remap window positions -> positions within the packed subset
+        subset = packed_frame_subset(T, cfg.diff_speed)
+        assert im_q.shape[1] == len(subset), (
+            f"packed input has {im_q.shape[1]} frames, subset needs "
+            f"{len(subset)} (t_load={T}, diff_speed={cfg.diff_speed})")
+        speed1 = jnp.asarray(np.searchsorted(subset, np.arange(t_real)))
+        table = jnp.asarray(
+            np.searchsorted(subset, np.asarray(
+                [np.arange(0, T, s)[:t_real] for s in cfg.diff_speed])))
     s_idx = jax.random.randint(key_speed, (), 0, len(cfg.diff_speed))
     speed2 = table[s_idx]
 

@@ -1,0 +1,87 @@
+"""Packed dual-speed frame loading: the loader decodes/ships only the union
+of window positions any speed row can touch (moco.builder.packed_frame_subset)
+and the in-step gather addresses packed positions — bit-identical training
+math with ~25% less decode + H2D for diff_speed=(2,).
+
+Reference behavior preserved: _diff_speed index semantics
+(/root/reference/moco/builder_diffspeed_diffloss.py:421-447); packing is a
+pure transport-layer optimization the reference does not have.
+"""
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from rspnet_tpu.data.catalogs import Synthetic
+from rspnet_tpu.data.pipeline import PipelineConfig, VideoDataLoader
+from rspnet_tpu.moco import MoCoConfig, diff_speed_gather, packed_frame_subset
+
+
+def test_packed_frame_subset_values():
+    sub = packed_frame_subset(32, (2,))
+    assert list(sub) == list(range(16)) + list(range(16, 32, 2))
+    assert len(sub) == 24
+    # 4x speed: {0..15} ∪ {0,4,...,60} of a 64-frame window
+    sub4 = packed_frame_subset(64, (4,))
+    assert list(sub4) == sorted(set(range(16)) | set(range(0, 64, 4)))
+    # multi-speed choice: union over every speed row (t_real = 64 // 4)
+    sub42 = packed_frame_subset(64, (4, 2))
+    expect = sorted(set(range(16))
+                    | set(list(range(0, 64, 4))[:16])
+                    | set(list(range(0, 64, 2))[:16]))
+    assert list(sub42) == expect
+
+
+def test_packed_gather_matches_full_gather():
+    T, B = 32, 8
+    rng = np.random.default_rng(0)
+    im_q = rng.random((B, T, 4, 4, 3), np.float32)
+    im_k = rng.random((B, T, 4, 4, 3), np.float32)
+    key = jax.random.PRNGKey(7)
+
+    full_cfg = MoCoConfig(dim=8, k=64, diff_speed=(2,))
+    q1, k1, n1 = diff_speed_gather(im_q, im_k, key, full_cfg)
+
+    sub = packed_frame_subset(T, (2,))
+    packed_cfg = MoCoConfig(dim=8, k=64, diff_speed=(2,),
+                            packed_frames=True, t_load=T)
+    q2, k2, n2 = diff_speed_gather(im_q[:, sub], im_k[:, sub], key,
+                                   packed_cfg)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
+def test_packed_loader_ships_subset_of_full_loader():
+    cat = Synthetic(num_samples=8, num_classes=2, num_frames=64,
+                    height=32, width=40)
+    sub = packed_frame_subset(32, (2,))
+    kw = dict(clip_len=32, out_size=16, num_clips=2, batch_size=4,
+              train=True, num_workers=1, seed=3, device_geometry=True)
+    full = next(iter(VideoDataLoader(cat, PipelineConfig(**kw))))
+    packed = next(iter(VideoDataLoader(
+        cat, PipelineConfig(frame_subset=sub, **kw))))
+    assert packed["clips"][0].shape[1] == 24
+    for ci in range(2):
+        np.testing.assert_array_equal(full["clips"][ci][:, sub],
+                                      packed["clips"][ci])
+
+
+def test_pretrain_cli_packed_device_geometry(tmp_path):
+    import pretrain
+    exp = tmp_path / "exp_pre_packed"
+    pretrain.main([
+        "-c", str(REPO / "config/pretrain/resnet18.jsonnet"),
+        "-e", str(exp), "-d", "--seed", "1",
+        "-x", '{dataset: {name: "synthetic", num_samples: 16, '
+        'num_classes: 4, num_frames: 48, height: 48, width: 64}, '
+        'batch_size: 1, num_workers: 2, device_geometry: true, '
+        'spatial_transforms+: {size: 32}, '
+        'moco+: {k: 32, dim: 8, packed_frames: true}, '
+        'temporal_transforms+: {_size: 8}}',
+    ])
+    assert (exp / "checkpoint.pth.tar").exists()

@@ -1,0 +1,100 @@
+"""Synthetic transfer-evidence experiment: does MoCo+RSP pretraining help?
+
+Runs, on the synthetic *speed-class* dataset (class = movement speed, the
+exact invariant RSP pretraining learns; color/direction are instance noise):
+
+  1. MoCo dual-speed pretraining (pretrain.py)
+  2. linear probe (only_train_fc) from the MoCo checkpoint (finetune.py --mc)
+  3. linear probe from random init (same config, no --mc)
+
+and prints one JSON line {"moco_acc1", "random_acc1", "gain"}. A positive
+gain is the in-environment stand-in for the reference's UCF101/HMDB51
+transfer results (BASELINE.md accuracy targets need real video datasets).
+
+Round-1 context: with *direction+color*-coded classes the MoCo probe showed
+no gain — MoCo's gray/jitter augmentation deliberately destroys color
+signal. Speed classes survive every augmentation, so this isolates what
+RSP is supposed to learn (reference paper's core claim).
+
+Usage: python utils/transfer_probe.py [--out DIR] [--epochs N] [--probe-epochs N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_DATA = ('dataset: {name: "synthetic", num_samples: 512, num_classes: 10, '
+         'num_frames: 64, class_mode: "speed"}, device_geometry: true, '
+         'num_workers: 2')
+
+
+def run(cmd):
+    print("+", " ".join(cmd), file=sys.stderr, flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+
+
+def final_acc(exp_dir: Path) -> float:
+    """Parse the final-validate acc1 from the finetune experiment log."""
+    best = None
+    for run_dir in sorted(exp_dir.glob("run_*")):
+        log = run_dir / "experiment.log"
+        if not log.exists():
+            continue
+        for line in log.read_text().splitlines():
+            m = re.search(r"Final validate.*acc1[=:]\s*([0-9.]+)", line)
+            if m:
+                best = float(m.group(1))
+    if best is None:
+        raise RuntimeError(f"no final-validate acc1 found under {exp_dir}")
+    return best
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", type=Path, default=Path("/tmp/transfer_probe"))
+    ap.add_argument("--epochs", type=int, default=15,
+                    help="MoCo pretrain epochs")
+    ap.add_argument("--probe-epochs", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=1)
+    args = ap.parse_args(argv)
+    out = args.out
+    out.mkdir(parents=True, exist_ok=True)
+
+    pre = out / "moco"
+    run([sys.executable, "pretrain.py",
+         "-c", "config/pretrain/resnet18.jsonnet",
+         "-e", str(pre), "--seed", str(args.seed),
+         "-x", "{%s, batch_size: 32, num_epochs: %d, "
+         "moco+: {k: 4096, packed_frames: true}}" % (_DATA, args.epochs)])
+
+    probe_x = ("{%s, batch_size: 32, num_epochs: %d, only_train_fc: true, "
+               "temporal_transforms+: {frame_rate: null}}"
+               % (_DATA, args.probe_epochs))
+    accs = {}
+    for name, extra in (("moco", ["--mc", str(pre / "model_best.pth.tar")]),
+                        ("random", [])):
+        exp = out / f"probe_{name}"
+        run([sys.executable, "finetune.py",
+             "-c", "config/finetune/ucf101_resnet18.jsonnet",
+             "-e", str(exp), "--seed", str(args.seed), "-x", probe_x]
+            + extra)
+        accs[name] = final_acc(exp)
+
+    print(json.dumps({
+        "moco_acc1": accs["moco"],
+        "random_acc1": accs["random"],
+        "gain": round(accs["moco"] - accs["random"], 2),
+        "chance": 10.0,
+        "pretrain_epochs": args.epochs,
+        "probe_epochs": args.probe_epochs,
+    }))
+
+
+if __name__ == "__main__":
+    main()
