@@ -23,15 +23,37 @@ logger = logging.getLogger(__name__)
 
 
 def _to_numpy_tree(obj: Any) -> Any:
-    """Convert JAX arrays (and scalars) to numpy recursively."""
+    """Convert JAX arrays (and scalars) to numpy recursively.
+
+    Device arrays are fetched as ONE flat transfer per dtype (device-side
+    concatenate, single device_get, host-side split): a per-leaf
+    ``device_get`` pays one tunnel round trip per array (~1.4 s each over
+    the axon tunnel; measured 144 s for a 104-leaf ResNet18 state, and
+    ``copy_to_host_async`` does NOT overlap there), while the batched fetch
+    moves the same bytes in one transfer.
+    """
     import jax
+    import jax.numpy as jnp
 
-    def conv(x):
+    leaves, treedef = jax.tree_util.tree_flatten(obj)
+    out = list(leaves)
+    groups: Dict[Any, list] = {}
+    for i, x in enumerate(leaves):
         if hasattr(x, "__array__") and not isinstance(x, np.ndarray):
-            return np.asarray(jax.device_get(x))
-        return x
-
-    return jax.tree_util.tree_map(conv, obj)
+            groups.setdefault(jnp.result_type(x), []).append(i)
+    for idxs in groups.values():
+        if len(idxs) == 1:
+            i = idxs[0]
+            out[i] = np.asarray(jax.device_get(leaves[i]))
+            continue
+        flat = jnp.concatenate([jnp.ravel(leaves[i]) for i in idxs])
+        host = np.asarray(jax.device_get(flat))
+        offset = 0
+        for i in idxs:
+            n = int(np.prod(leaves[i].shape, dtype=np.int64))
+            out[i] = host[offset:offset + n].reshape(leaves[i].shape)
+            offset += n
+    return treedef.unflatten(out)
 
 
 def _map_container(obj: Any, fn) -> Any:

@@ -202,3 +202,29 @@ def test_synthetic_direction_mode_color_is_class_independent():
     # same seed, same frame index => same background AND same square color;
     # only the square position may differ
     assert set(np.unique(fa)) == set(np.unique(fb))
+
+
+def test_prefetch_iterator_env_override(monkeypatch):
+    """RSPNET_PREFETCH=0 must bypass the producer thread entirely (poison
+    on 1-CPU hosts, CLAUDE.md round-2 findings); any depth still yields the
+    exact sequence."""
+    from rspnet_tpu.data.pipeline import prefetch_iterator
+    monkeypatch.setenv("RSPNET_PREFETCH", "0")
+    assert list(prefetch_iterator(iter(range(5)))) == list(range(5))
+    monkeypatch.setenv("RSPNET_PREFETCH", "3")
+    assert list(prefetch_iterator(iter(range(5)))) == list(range(5))
+
+
+def test_prefetch_iterator_propagates_errors(monkeypatch):
+    from rspnet_tpu.data.pipeline import prefetch_iterator
+    monkeypatch.setenv("RSPNET_PREFETCH", "2")
+
+    def boom():
+        yield 1
+        raise ValueError("decode failed")
+
+    it = prefetch_iterator(boom())
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="decode failed"):
+        list(it)

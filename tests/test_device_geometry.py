@@ -12,6 +12,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
@@ -61,16 +62,35 @@ def test_device_geometry_matches_host_geometry_distribution():
     assert np.array_equal(ref, host["clips"][0][0])
 
 
-def test_pretrain_cli_device_geometry(tmp_path):
+@pytest.fixture(scope="module")
+def devgeom_pretrain(tmp_path_factory):
     import pretrain
-    exp = tmp_path / "exp_pre_devgeom"
+    exp = tmp_path_factory.mktemp("exp_pre_devgeom")
     pretrain.main([
         "-c", str(REPO / "config/pretrain/resnet18.jsonnet"),
         "-e", str(exp), "-d", "--seed", "1",
         "-x", _SYNTH + 'moco+: {k: 32, dim: 8}, '
         'temporal_transforms+: {_size: 8}}',
     ])
-    assert (exp / "checkpoint.pth.tar").exists()
+    return exp
+
+
+def test_pretrain_cli_device_geometry(devgeom_pretrain):
+    assert (devgeom_pretrain / "checkpoint.pth.tar").exists()
+
+
+def test_retrieval_cli_device_geometry(devgeom_pretrain, tmp_path):
+    import retrieval
+    results = retrieval.main([
+        "-c", str(REPO / "config/retrieval/ucf101_resnet18.jsonnet"),
+        "-e", str(tmp_path / "exp_ret_devgeom"), "-d", "--seed", "1",
+        "--mc", str(devgeom_pretrain / "checkpoint.pth.tar"),
+        "-x", _SYNTH + 'temporal_transforms+: {size: 8, '
+        'validate+: {final_n_crop: 2}}, '
+        'validate: {batch_size: 1}, final_validate: {batch_size: 1}}',
+    ])
+    vals = [results[f"R@{k}"] for k in (1, 5, 10, 20, 50)]
+    assert vals == sorted(vals)
 
 
 def test_finetune_cli_device_geometry(tmp_path):
