@@ -62,7 +62,9 @@ def main():
     n_chips = jax.device_count()
     mesh = create_mesh()
 
-    batch_per_chip = 32   # sweep: 32 gives ~13% more clips/s than 16 on v5e
+    # sweep: 32 gives ~13% more clips/s than 16 on v5e; 64 compiles in ~9min
+    # on the tunneled chip (A/B it via RSPNET_BENCH_BATCH before changing)
+    batch_per_chip = int(os.environ.get("RSPNET_BENCH_BATCH", "32"))
     b_global = batch_per_chip * n_chips
     T, S = 32, 112
     # packed dual-speed loading: only the 24 of 32 window positions either

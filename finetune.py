@@ -67,7 +67,10 @@ def main(argv=None):
             f"--load-model/--mc or train first ({best_path} missing)")
     else:
         logger.warning("No checkpoint for final validation (%s)", best_path)
-    result = final.validate_epoch(final.current_epoch, prefix="final")
+    try:
+        result = final.validate_epoch(final.current_epoch, prefix="final")
+    finally:
+        final.close()
     logger.info("Final validate: acc1=%.2f acc5=%.2f", result["acc1"],
                 result["acc5"])
     return result

@@ -278,24 +278,36 @@ class FinetuneEngine:
 
     def run(self):
         num_epochs = 1 if self.debug else self.num_epochs
-        for epoch in range(self.current_epoch + 1, num_epochs + 1):
-            self.current_epoch = epoch
-            train_meters = self.train_epoch(epoch)
-            val = self.validate_epoch(epoch)
-            if self.scheduler.__class__.__name__ == "PlateauLR":
-                lr = self.scheduler.step(val["loss"])
-            else:
-                lr = self.scheduler.step()
-            self.state = self.state._replace(
-                opt_state=set_opt_lr(self.state.opt_state, lr))
+        try:
+            for epoch in range(self.current_epoch + 1, num_epochs + 1):
+                self.current_epoch = epoch
+                train_meters = self.train_epoch(epoch)
+                val = self.validate_epoch(epoch)
+                if self.scheduler.__class__.__name__ == "PlateauLR":
+                    lr = self.scheduler.step(val["loss"])
+                else:
+                    lr = self.scheduler.step()
+                self.state = self.state._replace(
+                    opt_state=set_opt_lr(self.state.opt_state, lr))
 
-            is_best = val["acc1"] > self.best_acc1
-            self.best_acc1 = max(self.best_acc1, val["acc1"])
-            self.save_checkpoint(epoch, is_best)
+                is_best = val["acc1"] > self.best_acc1
+                self.best_acc1 = max(self.best_acc1, val["acc1"])
+                self.save_checkpoint(epoch, is_best)
+        finally:
+            self.close()
         return self.best_acc1
 
+    def close(self) -> None:
+        """Release the TB event writer (its background thread + queue leak
+        per engine otherwise — enough CLI runs in one process exhaust fds)."""
+        if self.summary_writer is not None:
+            self.summary_writer.close()
+            self.summary_writer = None
+
     def save_checkpoint(self, epoch: int, is_best: bool) -> None:
-        s = jax.device_get(self.state)
+        # no device_get here: the checkpoint layer fetches all leaves as one
+        # batched transfer (per-leaf fetches cost a tunnel round trip each)
+        s = self.state
         self.checkpoint_manager.save({
             "epoch": epoch,
             "arch": self.arch,

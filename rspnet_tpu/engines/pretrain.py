@@ -283,21 +283,33 @@ class PretrainEngine:
 
     def run(self) -> None:
         num_epochs = 1 if self.debug else self.num_epochs
-        for epoch in range(self.current_epoch, num_epochs + 1):
-            self.current_epoch = epoch
-            self.train_epoch(epoch)
-            lr = self.scheduler.step(self.meters["loss"].avg)
-            self.state = self.state._replace(
-                opt_state=set_opt_lr(self.state.opt_state, lr))
+        try:
+            for epoch in range(self.current_epoch, num_epochs + 1):
+                self.current_epoch = epoch
+                self.train_epoch(epoch)
+                lr = self.scheduler.step(self.meters["loss"].avg)
+                self.state = self.state._replace(
+                    opt_state=set_opt_lr(self.state.opt_state, lr))
 
-            loss_avg = self.meters["loss"].avg
-            is_best = loss_avg < self.best_loss
-            self.best_loss = min(self.best_loss, loss_avg)
-            self.save_checkpoint(epoch, is_best)
+                loss_avg = self.meters["loss"].avg
+                is_best = loss_avg < self.best_loss
+                self.best_loss = min(self.best_loss, loss_avg)
+                self.save_checkpoint(epoch, is_best)
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        """Release the TB event writer (its background thread + queue leak
+        per engine otherwise — enough CLI runs in one process exhaust fds)."""
+        if self.summary_writer is not None:
+            self.summary_writer.close()
+            self.summary_writer = None
 
     # -- checkpointing --------------------------------------------------------
     def save_checkpoint(self, epoch: int, is_best: bool) -> None:
-        s = jax.device_get(self.state)
+        # no device_get here: the checkpoint layer fetches all leaves as one
+        # batched transfer (per-leaf fetches cost a tunnel round trip each)
+        s = self.state
         state = {
             "epoch": epoch,
             "arch": self.arch,
