@@ -62,9 +62,10 @@ def main():
     n_chips = jax.device_count()
     mesh = create_mesh()
 
-    # sweep: 32 gives ~13% more clips/s than 16 on v5e; 64 compiles in ~9min
-    # on the tunneled chip (A/B it via RSPNET_BENCH_BATCH before changing)
-    batch_per_chip = int(os.environ.get("RSPNET_BENCH_BATCH", "32"))
+    # sweep (same-session A/B/A via RSPNET_BENCH_BATCH, 2026-08-17):
+    # b32 3065 -> b64 4965 -> b32 3581 clips/s/chip; 64 is +40-60% and
+    # compiles in a few minutes on the tunneled chip
+    batch_per_chip = int(os.environ.get("RSPNET_BENCH_BATCH", "64"))
     b_global = batch_per_chip * n_chips
     T, S = 32, 112
     # packed dual-speed loading: only the 24 of 32 window positions either
