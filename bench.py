@@ -53,6 +53,10 @@ def main():
     import numpy as np
     import optax
 
+    from rspnet_tpu.framework import enable_persistent_jit_cache
+    enable_persistent_jit_cache()  # big-batch steps compile in minutes;
+    # the disk cache makes warm runs start in seconds
+
     from rspnet_tpu.models import get_model_class
     from rspnet_tpu.moco import (MoCoConfig, MultiTaskWrapper,
                                  init_moco_state, make_sharded_train_step,
@@ -62,10 +66,12 @@ def main():
     n_chips = jax.device_count()
     mesh = create_mesh()
 
-    # sweep (same-session A/B/A via RSPNET_BENCH_BATCH, 2026-08-17):
-    # b32 3065 -> b64 4965 -> b32 3581 clips/s/chip; 64 is +40-60% and
-    # compiles in a few minutes on the tunneled chip
-    batch_per_chip = int(os.environ.get("RSPNET_BENCH_BATCH", "64"))
+    # sweep (same-session A/B via RSPNET_BENCH_BATCH, 2026-08-17): b32
+    # 3065-3581, b64 4965-8912, b128 12413 clips/s/chip — a ~4ms fixed
+    # per-step dispatch cost (tunnel RPC) amortizes over the batch. The
+    # b128 step compiles in ~15min cold; the persistent jit cache makes
+    # warm runs start in seconds.
+    batch_per_chip = int(os.environ.get("RSPNET_BENCH_BATCH", "128"))
     b_global = batch_per_chip * n_chips
     T, S = 32, 112
     # packed dual-speed loading: only the 24 of 32 window positions either

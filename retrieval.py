@@ -12,7 +12,8 @@ logger = logging.getLogger(__name__)
 def main(argv=None):
     from rspnet_tpu.config import get_config, save_config
     from rspnet_tpu.framework import (Args, initialize_seed,
-                                      set_logging_basic_config, ulimit_n_max)
+                                      set_logging_basic_config, ulimit_n_max,
+                                      enable_persistent_jit_cache)
     from rspnet_tpu.framework.code_pack import pack_code
 
     from rspnet_tpu.parallel import init_distributed
@@ -27,6 +28,7 @@ def main(argv=None):
     set_logging_basic_config(args.run_dir, debug=args.debug)
     pack_code(args.run_dir)
     ulimit_n_max()
+    enable_persistent_jit_cache()
 
     cfg = get_config(args)
     cfg.put("seed", args.seed if args.seed is not None else 0)

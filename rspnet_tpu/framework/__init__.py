@@ -4,7 +4,8 @@ TPU-native rebuild of the reference's L6 layer (SURVEY.md §2.2).
 """
 from .arguments import Args, BaseArgs, get_timestamp
 from .checkpoint import CheckpointManager, load_state, save_state
-from .environment import scale_learning_rate, ulimit_n_max
+from .environment import (enable_persistent_jit_cache,
+                          scale_learning_rate, ulimit_n_max)
 from .logging import TqdmHandler, set_logging_basic_config
 from .meters import AverageMeter, MeterGroup
 from .metrics import accuracy, binary_accuracy, masked_accuracy
@@ -13,7 +14,7 @@ from .reproduction import initialize_seed
 __all__ = [
     "Args", "BaseArgs", "get_timestamp",
     "CheckpointManager", "load_state", "save_state",
-    "scale_learning_rate", "ulimit_n_max",
+    "scale_learning_rate", "ulimit_n_max", "enable_persistent_jit_cache",
     "TqdmHandler", "set_logging_basic_config",
     "AverageMeter", "MeterGroup",
     "accuracy", "binary_accuracy", "masked_accuracy",

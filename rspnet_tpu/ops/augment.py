@@ -10,10 +10,10 @@ SequentialGPUCollateFn). Here the whole batch is one jitted program:
 Crop *parameters* are sampled host-side in numpy (replicating the reference's
 Inception-style rejection sampling, transforms_spatial.py:42-100) because
 they are data-dependent scalar work; all *pixel* math runs on device with
-static shapes. Crop + bilinear resize collapse into a single gather-based
+static shapes. Crop + bilinear resize collapse into one matmul-based
 sampler (equivalent to crop -> F.interpolate(align_corners=False)), so the
 variable-size crop never materializes — this keeps XLA shapes static, which
-the TPU requires, and saves one HBM round-trip.
+the TPU requires, rides the MXU, and saves one HBM round-trip.
 """
 from __future__ import annotations
 
@@ -179,14 +179,33 @@ def center_crop_params(batch_size: int,
 # Device-side fused pipeline
 # ---------------------------------------------------------------------------
 
+def _interp_weights(coords: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[S] fractional source coords -> [S, n] bilinear weight rows.
+
+    Row s holds max(0, 1 - |coords[s] - k|) over source positions k: the
+    two-neighbor bilinear kernel (one neighbor with weight 1 when the coord
+    is integral). Rows always sum to 1 for coords inside [0, n-1].
+    """
+    grid = jnp.arange(n, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[:, None] - grid[None, :]))
+
+
 def crop_resize(clip: jnp.ndarray, box: jnp.ndarray, size: Tuple[int, int]
                 ) -> jnp.ndarray:
-    """Crop (i,j,h,w) then bilinear-resize to `size`, as one gather.
+    """Crop (i,j,h,w) then bilinear-resize to `size`, as two matmuls.
 
     Equivalent to clip[..., i:i+h, j:j+w, :] followed by
     F.interpolate(mode='bilinear', align_corners=False): output pixel centers
-    map to source coords i + (y+0.5)*h/S - 0.5 (half-pixel convention).
-    clip: [T, H, W, C] float32. Returns [T, S_h, S_w, C].
+    map to source coords i + (y+0.5)*h/S - 0.5 (half-pixel convention),
+    clamped inside the crop (edge behavior of resizing the cropped tensor).
+
+    The interpolation is applied as dense [S, H]/[S, W] weight matrices
+    contracted on the MXU rather than gathers: under vmap, XLA fused the
+    per-axis gathers into ONE element-level gather whose [B*T*S*S, 3] index
+    tensor tiles to 128 lanes on TPU — 42x memory blowup, OOM at batch 128
+    (19.7 GB for the indices alone). Two matmuls use no index tensors at
+    all and ride the systolic array. clip: [T, H, W, C] float32.
+    Returns [T, S_h, S_w, C].
     """
     t, H, W, c = clip.shape
     out_h, out_w = size
@@ -194,31 +213,13 @@ def crop_resize(clip: jnp.ndarray, box: jnp.ndarray, size: Tuple[int, int]
 
     ys = i + (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * h / out_h - 0.5
     xs = j + (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * w / out_w - 0.5
-    # Clamp sampling coords inside the crop (replicates edge behavior of
-    # resizing the cropped tensor).
     ys = jnp.clip(ys, i, i + h - 1.0)
     xs = jnp.clip(xs, j, j + w - 1.0)
 
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy = (ys - y0)[None, :, None, None]          # [1, S_h, 1, 1]
-    wx = (xs - x0)[None, None, :, None]          # [1, 1, S_w, 1]
-
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    y1i = jnp.clip(y0i + 1, 0, H - 1)
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    x1i = jnp.clip(x0i + 1, 0, W - 1)
-
-    rows0 = jnp.take(clip, y0i, axis=1)          # [T, S_h, W, C]
-    rows1 = jnp.take(clip, y1i, axis=1)
-    p00 = jnp.take(rows0, x0i, axis=2)           # [T, S_h, S_w, C]
-    p01 = jnp.take(rows0, x1i, axis=2)
-    p10 = jnp.take(rows1, x0i, axis=2)
-    p11 = jnp.take(rows1, x1i, axis=2)
-
-    top = p00 * (1.0 - wx) + p01 * wx
-    bot = p10 * (1.0 - wx) + p11 * wx
-    return top * (1.0 - wy) + bot * wy
+    my = _interp_weights(ys, H)                  # [S_h, H]
+    mx = _interp_weights(xs, W)                  # [S_w, W]
+    x = jnp.einsum("sh,thwc->tswc", my, clip)    # rows:    [T, S_h, W, C]
+    return jnp.einsum("rw,tswc->tsrc", mx, x)    # columns: [T, S_h, S_w, C]
 
 
 def _apply_jitter(clip: jnp.ndarray, factors: jnp.ndarray,
@@ -280,7 +281,8 @@ def augment_batch(batch: jnp.ndarray, boxes, flip, jitter, order, gray, blur,
     False + use_blur matches aug_plus (:201-216). `identity_geometry=True`
     statically skips crop_resize when the host already cropped+resized to
     `size` — boxes are runtime values, so XLA cannot elide the identity
-    gather itself (4 full-batch gathers saved per clip in the hot loop).
+    resample itself (two full-batch interpolation contractions saved per
+    clip in the hot loop).
     """
     if identity_geometry:
         assert batch.shape[2:4] == tuple(size), (batch.shape, size)

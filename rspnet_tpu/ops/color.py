@@ -69,7 +69,15 @@ def rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def hsv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3] HSV -> [..., 3] RGB (same vtpq table as the reference)."""
+    """[..., 3] HSV -> [..., 3] RGB (same vtpq table as the reference).
+
+    The reference selects channels by gathering from a [3, 6] channel map
+    (functional_tensor.py:295-299). Per-pixel gathers are poison on TPU:
+    XLA materializes an element-index tensor whose minor dim tiles to 128
+    lanes (42x memory; the [B*T*S*S, 3] indices alone OOMed the fused
+    augment at batch 128). A branchless 6-way where-chain is the same
+    selection as pure elementwise arithmetic and fuses into the pipeline.
+    """
     h, s, v = img[..., 0], img[..., 1], img[..., 2]
     hi = jnp.floor(h * 6.0)
     f = h * 6.0 - hi
@@ -78,15 +86,18 @@ def hsv_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
     q = v * (1.0 - f * s)
     hi = hi.astype(jnp.int32) % 6
 
-    # channel_map rows (reference: functional_tensor.py:295-299), vtpq order
-    # [v, t, p, q]
-    vtpq = jnp.stack([v, t, p, q], axis=-1)                  # [..., 4]
-    cmap = jnp.array([[0, 3, 2, 2, 1, 0],
-                      [1, 0, 0, 3, 2, 2],
-                      [2, 2, 1, 0, 0, 3]], dtype=jnp.int32)  # [3, 6]
-    sel = cmap[:, hi]                                        # [3, ...]
-    sel = jnp.moveaxis(sel, 0, -1)                           # [..., 3]
-    return jnp.take_along_axis(vtpq, sel, axis=-1)
+    def pick(cases):
+        # cases[k] is the channel value when hi == k (vtpq columns of the
+        # reference's channel map, rows below match cmap rows r/g/b)
+        out = cases[5]
+        for k in range(4, -1, -1):
+            out = jnp.where(hi == k, cases[k], out)
+        return out
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
 
 
 def adjust_hue(img: jnp.ndarray, factor) -> jnp.ndarray:
