@@ -143,3 +143,27 @@ def test_blur_path_runs():
     ref = eval_preprocess(jnp.asarray(batch), p.boxes, size=(16, 16))
     assert not np.allclose(np.asarray(out)[0], np.asarray(ref)[0])
     np.testing.assert_allclose(np.asarray(out)[1], np.asarray(ref)[1], atol=1e-5)
+
+
+def test_augment_compiles_without_gathers():
+    """Regression guard for the batch-128 OOM class: XLA fuses per-pixel
+    take/take_along_axis in the augment into element-level gathers whose
+    [N, 3] index tensors tile to 128 lanes on TPU (42x memory). The fused
+    augment must lower to zero gather ops — crop+resize is interpolation
+    matmuls, hsv selection is a where-chain."""
+    import jax
+    from functools import partial
+    from rspnet_tpu.ops.augment import augment_batch
+
+    batch = jnp.zeros((2, 3, 32, 40, 3), jnp.uint8)
+    p = center_crop_params(2, [(32, 40)])
+    # force every branch that could gather: jitter incl. hue, gray, blur
+    p.jitter[:] = (1.1, 0.9, 1.2, 0.05)
+    p.gray[0] = True
+    p.blur[1] = True
+    fn = partial(augment_batch, size=(16, 16), gray_before_jitter=False,
+                 use_blur=True)
+    hlo = jax.jit(fn).lower(jnp.asarray(batch), p.boxes, p.flip, p.jitter,
+                            p.order, p.gray, p.blur).as_text()
+    assert " gather(" not in hlo and "gather(" not in hlo.replace(
+        "all_gather", ""), "augment lowering reintroduced a gather"
