@@ -142,7 +142,12 @@ def main():
 
     DH, DW = 128, 171     # decode resolution (device-geometry pipeline)
     sample_mb = 2 * P * DH * DW * 3 / 1e6   # uint8 H2D bytes per sample
-    n_warm, n_meas = 2, 16
+    # keep the whole phase inside the tunnel's ~4.5 GB H2D burst window
+    # (phase 1 already spent ~1 GB of it): a fixed batch count at large
+    # b_global would run half the timed batches in the ~0.1 GB/s
+    # flow-controlled regime and measure the relay, not the pipeline
+    n_warm = 2
+    n_meas = max(4, min(16, int(3400 / (sample_mb * b_global)) - n_warm))
     n_batches = n_warm + n_meas
     loader_cfg = PipelineConfig(
         clip_len=T, strides=[{"stride": 1, "weight": 1}],
@@ -197,7 +202,11 @@ def main():
     buf = np.random.randint(0, 255, (b_global, P, DH, DW, 3), np.uint8)
     jax.block_until_ready(jax.device_put(buf))  # warm the path
     rates = []
-    for i in range(72):   # ~4.8 GB: rides past the burst window
+    # ride past whatever remains of the burst window (~4.5 GB total per
+    # cool-down) plus a sustained tail, scaled to the buffer size so large
+    # b_global doesn't push 10x the bytes it needs to
+    n_iter = max(16, int(6.5e9 / buf.nbytes) + 12)
+    for i in range(n_iter):
         buf[0, 0, 0, 0, 0] += 1
         t0 = time.perf_counter()
         jax.block_until_ready(jax.device_put(buf))

@@ -72,7 +72,13 @@ class SyntheticVideoReader(VideoReaderBase):
             ang = rng.rand() * 2 * np.pi          # instance, not class
         else:
             speed = 0.8
-            ang = 2 * np.pi * self.cls / 10.0     # direction = class
+            # quarter-class offset: a horizontal flip maps angle th to
+            # pi - th, and an unoffset grid 2*pi*c/10 aliases class c onto
+            # class (5-c) mod 10 EXACTLY under flip (h_flip=0.5 in every
+            # train stack), capping Bayes accuracy at 50%. With the offset
+            # the flipped angles fall between class angles, so direction
+            # stays identifiable (speed mode is flip-invariant already).
+            ang = 2 * np.pi * (self.cls + 0.25) / 10.0
         self._vel = np.array([np.sin(ang), np.cos(ang)]) * speed
         self._start = rng.rand(2) * 0.5 + 0.25
 
@@ -162,12 +168,15 @@ class CvVideoReader(VideoReaderBase):
 from functools import lru_cache
 
 
-@lru_cache(maxsize=1024)
+@lru_cache(maxsize=4096)
 def _synthetic_reader(url: str) -> "SyntheticVideoReader":
     """Synthetic readers are immutable and get_batch is pure, so one shared
     instance per URL is thread-safe; rebuilding one costs ~1-2 ms of RNG +
     background synthesis per sample per epoch — a visible slice of the
-    5.6 ms/sample host budget on the 1-vCPU bench host."""
+    5.6 ms/sample host budget on the 1-vCPU bench host. The cache must
+    exceed the largest cyclically-iterated catalog (an LRU smaller than
+    the cycle thrashes to a 0% hit rate); 4096 entries of ~65 KB
+    backgrounds is ~270 MB worst-case, covering every in-repo catalog."""
     return SyntheticVideoReader(url)
 
 

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..config import ConfigTree
 from ..moco import build_moco_model, diff_speed_gather
-from ..ops.augment import eval_preprocess
+from ..ops.augment import _center_max_box, eval_preprocess
 from ..parallel import create_mesh
 from .transfer import load_pretrained_encoder
 
@@ -162,8 +162,13 @@ class VisualizationEngine:
             # batch plays fast, half normal, q and k at MATCHED speeds.
             qs = batch["clips"][0]
             ks = batch["clips"][1]
-            boxes = np.array([[0, 0, qs.shape[2], qs.shape[3]]] * qs.shape[0],
-                             np.float32)
+            # center-max crop box: identity when the worker already resized
+            # to S x S, a proper centered square crop when device_geometry
+            # ships decode-resolution frames (a full-frame identity box
+            # would squash 4:3 frames anisotropically — a geometry the
+            # encoder never saw in training)
+            i0, j0, bh, bw = _center_max_box(qs.shape[2], qs.shape[3], 1.0)
+            boxes = np.array([[i0, j0, bh, bw]] * qs.shape[0], np.float32)
             clip_q = eval_preprocess(jnp.asarray(qs), boxes,
                                      size=(self.size, self.size),
                                      mean=mean, std=std)

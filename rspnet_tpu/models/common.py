@@ -10,7 +10,7 @@ TPU-native conventions used across all models:
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -49,6 +49,7 @@ class SubBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Optional[Dtype] = None
+    scale_init: Callable = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -56,7 +57,7 @@ class SubBatchNorm(nn.Module):
 
         k = self.num_splits
         c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((k, c), jnp.float32))

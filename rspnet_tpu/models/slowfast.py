@@ -254,9 +254,8 @@ class NonLocal(nn.Module):
         # output conv + zero-init norm scale so the block starts as identity
         out = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="out")(out)
         if self.bn_splits > 1:
-            # SubBatchNorm has no scale_init hook; zero-init parity for the
-            # sub-BN case is handled by the caller's init if needed
             out = SubBatchNorm(num_splits=self.bn_splits, momentum=0.9,
+                               scale_init=nn.initializers.zeros,
                                dtype=self.dtype, name="bn")(out, train)
         else:
             out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
