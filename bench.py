@@ -9,20 +9,24 @@ per-step work as the reference: moco/builder_diffspeed_diffloss.py:492-546,
 pretrain.py:154):
 
 1. **step**: device-resident inputs, 30 timed steps. This is the headline
-   `value` (round-1 comparable) — the model/step throughput ceiling.
+   `value` (the model/step throughput ceiling). TIMING IS FETCH-SYNCED:
+   on the axon tunnel jax.block_until_ready does NOT wait for remote
+   execution (measured: a chained matmul loop "achieved" 250x chip peak),
+   so every timed section ends in a dependent scalar fetch and subtracts
+   the measured fetch round-trip. Numbers recorded before 2026-08-17
+   (rounds 1 and early 2) used block_until_ready and measured the
+   dispatch/enqueue rate — they are 4-16x too high and are not comparable.
 2. **e2e**: the REAL input pipeline — decode workers (synthetic backend)
    -> fused on-device augment (device-geometry: crop+resize on chip,
-   ops/augment.py) -> H2D -> train step, over 16 measured batches.
-   Reported as `e2e_clips_per_sec_per_chip` plus its fraction of the
-   input bound: `e2e_frac_of_input_bound` close to 1.0 means the pipeline
-   runs at this environment's input speed of light and the remaining gap
-   to the step rate is transfer bandwidth, not framework overhead.
-3. **h2d probe**: fresh uint8 batch transfers, host->device MB/s. The
-   tunneled bench chip bursts ~1.5 GB/s for the first ~4.5 GB, then
-   settles at ~0.1 GB/s (relay flow control); phase 2 deliberately runs
-   inside the burst window so it measures the pipeline software, not the
-   relay. A real TPU host feeds PCIe at tens of GB/s with no cliff. Both
-   rates and the implied clips/s input bounds are reported.
+   ops/augment.py) -> H2D -> train step. Reported as
+   `e2e_clips_per_sec_per_chip` plus its fraction of the input bound:
+   `e2e_frac_of_input_bound` close to 1.0 means the pipeline runs at this
+   environment's H2D speed of light and the remaining gap to the step
+   rate is transfer bandwidth, not framework overhead.
+3. **h2d probe**: true aggregate host->device bandwidth (K puts ordered
+   through a device-side reduction of the last buffer, fetched), plus the
+   relay's local-buffering enqueue burst rate for context. A real TPU
+   host feeds PCIe at tens of GB/s; the tunnel is the bound here.
 
 - Model: S3D-G (BASELINE.json headline), bf16 compute, batch sharded over
   all local chips. Input 32x112x112 raw (dual-speed subsamples to 16 frames
@@ -66,11 +70,10 @@ def main():
     n_chips = jax.device_count()
     mesh = create_mesh()
 
-    # sweep (same-session A/B via RSPNET_BENCH_BATCH, 2026-08-17): b32
-    # 3065-3581, b64 4965-8912, b128 12413 clips/s/chip — a ~4ms fixed
-    # per-step dispatch cost (tunnel RPC) amortizes over the batch. The
-    # b128 step compiles in ~15min cold; the persistent jit cache makes
-    # warm runs start in seconds.
+    # fetch-synced sweep (same-session A/B via RSPNET_BENCH_BATCH,
+    # 2026-08-17): b32 840, b128 1049 clips/s/chip (+25%). The b128 step
+    # compiles in ~15min cold; the persistent jit cache makes warm runs
+    # start in seconds.
     batch_per_chip = int(os.environ.get("RSPNET_BENCH_BATCH", "128"))
     b_global = batch_per_chip * n_chips
     T, S = 32, 112
@@ -99,6 +102,16 @@ def main():
     im_k = jnp.asarray(rng.rand(b_global, P, S, S, 3), jnp.float32)
 
     # ---- phase 1: device-resident step throughput ---------------------------
+    # SYNC CONTRACT (measured 2026-08-17): on the axon tunnel
+    # jax.block_until_ready returns WITHOUT waiting for remote execution —
+    # timing loops "synced" with it measure the dispatch/enqueue rate, not
+    # compute (a chained 8k matmul loop reported 50,000 TFLOP/s, 250x the
+    # chip's peak). The only real synchronization is a dependent VALUE
+    # FETCH; every timed section below ends in float(<metric>) and
+    # subtracts the measured fetch round-trip.
+    def fetch(x) -> float:
+        return float(np.asarray(x))
+
     with mesh:
         state = replicate_to_mesh(state, mesh)
         im_q = shard_batch(im_q, mesh)
@@ -106,14 +119,24 @@ def main():
 
         # warmup / compile
         state, metrics = step(state, im_q, im_k, jax.random.PRNGKey(1))
-        jax.block_until_ready(metrics["loss"])
+        fetch(metrics["loss"])
+
+        # fetch RTT: a second scalar off an already-completed step
+        rtts = []
+        for i in range(3):
+            state, metrics = step(state, im_q, im_k, jax.random.PRNGKey(50 + i))
+            fetch(metrics["loss"])           # settle the chain
+            t0 = time.perf_counter()
+            fetch(metrics["loss_A"])         # completed value -> pure RTT
+            rtts.append(time.perf_counter() - t0)
+        rtt = min(rtts)
 
         n_steps = 30  # tunneled-chip timing variance is ~±10% at 10 steps
         t0 = time.perf_counter()
         for i in range(n_steps):
             state, metrics = step(state, im_q, im_k, jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(metrics["loss"])
-        dt = time.perf_counter() - t0
+        fetch(metrics["loss"])               # dependent fetch = completion
+        dt = time.perf_counter() - t0 - rtt
 
     step_per_chip = b_global * n_steps / dt / n_chips
     result = {
@@ -123,6 +146,7 @@ def main():
         "vs_baseline": round(step_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3),
         "n_chips": n_chips,
         "host_cpus": os.cpu_count(),
+        "fetch_rtt_ms": round(rtt * 1e3, 1),
     }
 
     if os.environ.get("RSPNET_BENCH_SKIP_E2E"):
@@ -181,45 +205,44 @@ def main():
             key, sub = jax.random.split(key)
             state, metrics = step(state, clip_q, clip_k, sub)
             if i + 1 == n_warm:
-                jax.block_until_ready(metrics["loss"])
+                fetch(metrics["loss"])       # real sync (see phase 1 note)
                 t_start = time.perf_counter()
             elif i + 1 > n_warm:
                 done += b_global
-        jax.block_until_ready(metrics["loss"])
-        e2e_dt = time.perf_counter() - t_start
+        fetch(metrics["loss"])               # dependent fetch = completion
+        e2e_dt = time.perf_counter() - t_start - rtt
 
     e2e_per_chip = done / e2e_dt / n_chips
     result["e2e_clips_per_sec_per_chip"] = round(e2e_per_chip, 2)
     result["e2e_vs_baseline"] = round(
         e2e_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3)
 
-    # ---- phase 3: H2D bandwidth probe (burst + sustained) --------------------
-    # The tunneled chip takes ~1.5 GB/s for the first ~4.5 GB (relay burst
-    # buffer), then settles at ~0.1 GB/s. A real TPU host feeds PCIe at
-    # tens of GB/s with no such cliff, so the sustained cap is an
-    # environment property, reported so the e2e number can be judged
-    # against the input bound rather than against the compute rate.
+    # ---- phase 3: H2D bandwidth probe ----------------------------------------
+    # device_put is asynchronous and block_until_ready does not wait on this
+    # tunnel (see phase 1 note), so per-put "rates" only show the relay's
+    # local-buffering burst (~1.5 GB/s for the first ~4.5 GB) collapsing to
+    # its flow-controlled enqueue rate. TRUE aggregate bandwidth comes from
+    # timing K puts through to a device-side reduction of the LAST buffer
+    # (transfers to one device complete in order) fetched to the host.
     buf = np.random.randint(0, 255, (b_global, P, DH, DW, 3), np.uint8)
-    jax.block_until_ready(jax.device_put(buf))  # warm the path
+    checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+    fetch(checksum(jax.device_put(buf)))        # warm path + compile
     rates = []
-    # ride past whatever remains of the burst window (~4.5 GB total per
-    # cool-down) plus a sustained tail, scaled to the buffer size so large
-    # b_global doesn't push 10x the bytes it needs to
-    n_iter = max(16, int(6.5e9 / buf.nbytes) + 12)
+    n_iter = max(10, int(4.0e9 / buf.nbytes))
+    t_all = time.perf_counter()
     for i in range(n_iter):
         buf[0, 0, 0, 0, 0] += 1
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(buf))
+        dev = jax.device_put(buf)
         rates.append(buf.nbytes / 1e6 / (time.perf_counter() - t0))
-    burst = max(np.mean(rates[:8]), np.mean(rates[:4]))
-    sustained = float(np.mean(rates[-12:]))
-    result["h2d_burst_mb_per_sec"] = round(float(burst), 1)
-    result["h2d_sustained_mb_per_sec"] = round(sustained, 1)
-    result["e2e_input_bound_clips_per_sec"] = round(burst / sample_mb, 1)
-    result["e2e_sustained_tunnel_bound_clips_per_sec"] = round(
-        sustained / sample_mb, 1)
+    fetch(checksum(dev))                        # orders after every put
+    true_mb = n_iter * buf.nbytes / 1e6 / (time.perf_counter() - t_all - rtt)
+    enqueue_burst = max(np.mean(rates[:8]), np.mean(rates[:4]))
+    result["h2d_true_mb_per_sec"] = round(float(true_mb), 1)
+    result["h2d_enqueue_burst_mb_per_sec"] = round(float(enqueue_burst), 1)
+    result["e2e_input_bound_clips_per_sec"] = round(true_mb / sample_mb, 1)
     result["e2e_frac_of_input_bound"] = round(
-        e2e_per_chip * n_chips / (burst / sample_mb), 3)
+        e2e_per_chip * n_chips / (true_mb / sample_mb), 3)
     print(json.dumps(result))
 
 

@@ -187,13 +187,17 @@ class PretrainEngine:
             clip_q = shard_batch(clip_q, self.mesh)
             clip_k = shard_batch(clip_k, self.mesh)
             if timing:
-                jax.block_until_ready(clip_k)
+                # value fetches, not block_until_ready: the axon tunnel's
+                # block_until_ready returns before remote work finishes,
+                # so it times dispatch, not execution (CLAUDE.md). The
+                # fetch RTT (~30ms idle) is included in both samples.
+                np.asarray(jnp.sum(clip_k))
                 t1 = time.perf_counter()
             self.step_key, sub = jax.random.split(self.step_key)
             self.state, metrics = self.train_step(self.state, clip_q,
                                                   clip_k, sub)
             if timing:
-                jax.block_until_ready(metrics["loss"])
+                np.asarray(metrics["loss"])
                 t2 = time.perf_counter()
                 logger.info("timing[%d]: load=%.0fms augment=%.0fms "
                             "step=%.0fms", i, (t0 - tprev) * 1000,
