@@ -65,7 +65,8 @@ def main():
     from rspnet_tpu.moco import (MoCoConfig, MultiTaskWrapper,
                                  init_moco_state, make_sharded_train_step,
                                  packed_frame_subset)
-    from rspnet_tpu.parallel import create_mesh, replicate_to_mesh, shard_batch
+    from rspnet_tpu.parallel import (create_mesh, fetch_scalar as fetch,
+                                     replicate_to_mesh, shard_batch)
 
     n_chips = jax.device_count()
     mesh = create_mesh()
@@ -107,11 +108,8 @@ def main():
     # timing loops "synced" with it measure the dispatch/enqueue rate, not
     # compute (a chained 8k matmul loop reported 50,000 TFLOP/s, 250x the
     # chip's peak). The only real synchronization is a dependent VALUE
-    # FETCH; every timed section below ends in float(<metric>) and
-    # subtracts the measured fetch round-trip.
-    def fetch(x) -> float:
-        return float(np.asarray(x))
-
+    # FETCH (rspnet_tpu.parallel.fetch_scalar); every timed section below
+    # ends in one and subtracts the measured fetch round-trip.
     with mesh:
         state = replicate_to_mesh(state, mesh)
         im_q = shard_batch(im_q, mesh)
@@ -119,15 +117,13 @@ def main():
 
         # warmup / compile
         state, metrics = step(state, im_q, im_k, jax.random.PRNGKey(1))
-        fetch(metrics["loss"])
+        fetch(metrics["loss"])               # settle the chain
 
-        # fetch RTT: a second scalar off an already-completed step
+        # fetch RTT: further scalars off the already-completed step
         rtts = []
-        for i in range(3):
-            state, metrics = step(state, im_q, im_k, jax.random.PRNGKey(50 + i))
-            fetch(metrics["loss"])           # settle the chain
+        for key in ("loss_A", "loss_M", "acc1_M"):
             t0 = time.perf_counter()
-            fetch(metrics["loss_A"])         # completed value -> pure RTT
+            fetch(metrics[key])
             rtts.append(time.perf_counter() - t0)
         rtt = min(rtts)
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import logging
 import urllib.parse
+from functools import lru_cache
 from typing import Optional, Sequence
 
 import numpy as np
@@ -163,9 +164,6 @@ class CvVideoReader(VideoReaderBase):
 
     def close(self):
         self.cap.release()
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=4096)

@@ -29,7 +29,7 @@ from ..framework.lr_schedule import build_optimizer, build_scheduler, set_opt_lr
 from ..moco import (MoCoState, build_moco_model, init_moco_state,
                     make_sharded_eval_step, make_sharded_train_step)
 from ..ops.augment import augment_batch, center_crop_params, sample_train_params
-from ..parallel import (create_mesh, mesh_for_args,
+from ..parallel import (create_mesh, fetch_scalar, mesh_for_args,
                         replicate_to_mesh, shard_batch)
 from ..utils.moco import replace_moco_k_in_config
 
@@ -187,17 +187,17 @@ class PretrainEngine:
             clip_q = shard_batch(clip_q, self.mesh)
             clip_k = shard_batch(clip_k, self.mesh)
             if timing:
-                # value fetches, not block_until_ready: the axon tunnel's
+                # fetch_scalar, not block_until_ready: the axon tunnel's
                 # block_until_ready returns before remote work finishes,
                 # so it times dispatch, not execution (CLAUDE.md). The
                 # fetch RTT (~30ms idle) is included in both samples.
-                np.asarray(jnp.sum(clip_k))
+                fetch_scalar(jnp.sum(clip_k))
                 t1 = time.perf_counter()
             self.step_key, sub = jax.random.split(self.step_key)
             self.state, metrics = self.train_step(self.state, clip_q,
                                                   clip_k, sub)
             if timing:
-                np.asarray(metrics["loss"])
+                fetch_scalar(metrics["loss"])
                 t2 = time.perf_counter()
                 logger.info("timing[%d]: load=%.0fms augment=%.0fms "
                             "step=%.0fms", i, (t0 - tprev) * 1000,

@@ -115,6 +115,19 @@ def fetch_global(x, mesh: Mesh) -> np.ndarray:
     return np.asarray(x)
 
 
+def fetch_scalar(x) -> float:
+    """Device -> host fetch of one scalar; the ONLY real synchronization
+    on the tunneled dev chip.
+
+    ``jax.block_until_ready`` returns there before remote execution
+    finishes (measured: a chained matmul loop "achieved" 250x chip peak
+    under it), so any timing or completion barrier must be a dependent
+    value fetch like this one. Costs one tunnel round trip (~30 ms idle,
+    ~1.4 s congested) — batch fetches where possible (see CLAUDE.md).
+    """
+    return float(np.asarray(x))
+
+
 def local_shard(global_batch_size: int, mesh: Mesh, axis: str = "data") -> int:
     n = mesh.shape[axis]
     if global_batch_size % n != 0:
