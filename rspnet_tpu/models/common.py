@@ -147,11 +147,97 @@ class ConvBN(nn.Module):
         return x
 
 
+def _max_pool_1d(x: jnp.ndarray, axis: int, k: int, s: int,
+                 p: int) -> jnp.ndarray:
+    """1-D max pool along one axis as a maximum over k shifted strided
+    slices (floor mode, -inf padding)."""
+    import functools
+
+    import jax
+
+    d = x.shape[axis]
+    if k == 1 and s == 1 and p == 0:
+        return x
+    out_len = (d + 2 * p - k) // s + 1
+    need = (out_len - 1) * s + k          # padded length the slices touch
+    if p or need > d:
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (p, max(0, need - d - p))
+        x = jnp.pad(x, pads, constant_values=-jnp.inf)
+    slices = [
+        jax.lax.slice_in_dim(x, dt, dt + (out_len - 1) * s + 1, stride=s,
+                             axis=axis)
+        for dt in range(k)
+    ]
+    return functools.reduce(jnp.maximum, slices)
+
+
+def _max_pool3d_separable(x: jnp.ndarray, k, s, p) -> jnp.ndarray:
+    """Rectangular max windows are separable: one 1-D pool per axis.
+
+    Exists because jax's reduce_window-max VJP lowers to
+    select_and_gather_add (a packed double-width reduce-window that
+    downcasts f32 on TPU); decomposed into jnp.maximum chains the
+    gradient is plain fusable elementwise selects. S3D-G runs a
+    stride-1 3x3x3 max pool inside EVERY inception block (reference
+    models/s3dg.py branch3), so this is on the hot path both ways.
+    """
+    for axis in (1, 2, 3):
+        x = _max_pool_1d(x, axis, k[axis - 1], s[axis - 1], p[axis - 1])
+    return x
+
+
+def _max_pool3d_separable_rw(x: jnp.ndarray, k, s, p) -> jnp.ndarray:
+    """Separable max pool via one reduce_window per non-trivial axis.
+
+    Max over a rectangular window factors per axis, so a 3x3x3 window
+    becomes three windows of 3. Forward cost is similar (reduce_window
+    fuses well either way); the win is the VJP: each axis' backward
+    select-and-scatter scans a 3-element window instead of 27 (the
+    monolithic 3x3x3 select-and-scatter measured 0.2 TF/s and 23% of the
+    whole b128 train step; see CLAUDE.md profiling notes).
+    """
+    for axis in (1, 2, 3):
+        ka, sa, pa = k[axis - 1], s[axis - 1], p[axis - 1]
+        if ka == 1 and sa == 1 and pa == 0:
+            continue
+        win = [1, 1, 1]
+        st = [1, 1, 1]
+        pd = [(0, 0), (0, 0), (0, 0)]
+        win[axis - 1], st[axis - 1], pd[axis - 1] = ka, sa, (pa, pa)
+        x = nn.max_pool(x, window_shape=tuple(win), strides=tuple(st),
+                        padding=pd)
+    return x
+
+
 def max_pool3d(x: jnp.ndarray, kernel, strides, padding=0) -> jnp.ndarray:
-    """Torch MaxPool3d semantics (floor mode, -inf padding)."""
+    """Torch MaxPool3d semantics (floor mode, -inf padding).
+
+    Default is the separable reduce_window form (see
+    _max_pool3d_separable_rw). RSPNET_POOL=xla selects the monolithic
+    reduce_window; RSPNET_POOL=sep the slice/maximum decomposition
+    (measured SLOWER in bwd: its slice-transpose pads don't fuse).
+    """
+    import os
+
     k = _triple(kernel)
     s = _triple(strides)
-    return nn.max_pool(x, window_shape=k, strides=s, padding=_pad3(padding))
+    choice = os.environ.get("RSPNET_POOL", "rw-sep")
+    if choice == "xla":
+        return nn.max_pool(x, window_shape=k, strides=s,
+                           padding=_pad3(padding))
+    if choice == "sep":
+        return _max_pool3d_separable(x, k, s, _triple(padding))
+    if choice == "pallas":
+        import jax
+
+        from ..ops.pallas_pool import (max_pool3d_pallas,
+                                       pallas_pool_supported)
+        p = _triple(padding)
+        if pallas_pool_supported(x.shape, k, s, p, x.dtype):
+            return max_pool3d_pallas(
+                x, k, s, p, jax.default_backend() == "cpu")
+    return _max_pool3d_separable_rw(x, k, s, _triple(padding))
 
 
 def avg_pool3d(x: jnp.ndarray, kernel, strides, padding=0) -> jnp.ndarray:

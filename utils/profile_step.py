@@ -1,0 +1,172 @@
+"""Per-op device profile of the fused MoCo train step (bench.py config).
+
+Runs a few steps under jax.profiler.trace and prints the top XLA ops by
+total device time — the ground truth for where the step's 126 ms go
+(the axon platform does export device op timings; durations in the
+chrome trace are microseconds).
+
+Usage: python utils/profile_step.py [--batch 128] [--steps 5] [--top 25]
+Env:   RSPNET_POOL=xla to profile the reduce_window max-pool variant.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+import time
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def run_and_trace(batch: int, steps: int, trace_dir: str):
+    T0 = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from rspnet_tpu.framework import enable_persistent_jit_cache
+    enable_persistent_jit_cache()
+
+    from rspnet_tpu.models import get_model_class
+    from rspnet_tpu.moco import (MoCoConfig, MultiTaskWrapper,
+                                 init_moco_state, make_sharded_train_step,
+                                 packed_frame_subset)
+    from rspnet_tpu.parallel import (create_mesh, fetch_scalar,
+                                     replicate_to_mesh, shard_batch)
+
+    mesh = create_mesh()
+    n_chips = jax.device_count()
+    b_global = batch * n_chips
+    T, S = 32, 112
+    subset = packed_frame_subset(T, (2,))
+    P = len(subset)
+
+    cfg = MoCoConfig(dim=128, k=16384 - 16384 % b_global, m=0.999, t=0.07,
+                     diff_speed=(2,), packed_frames=True, t_load=T)
+    model = MultiTaskWrapper(
+        encoder_factory=get_model_class("s3dg"),
+        num_classes=cfg.dim, finetune=False, fc_type="linear",
+        dtype=jnp.bfloat16, axis_name="data")
+    optimizer = optax.chain(
+        optax.add_decayed_weights(1e-4), optax.sgd(0.05, momentum=0.9))
+    state = init_moco_state(model, cfg, optimizer, jax.random.PRNGKey(0),
+                            (1, 16, S, S, 3))
+    step = make_sharded_train_step(model, optimizer, cfg, mesh)
+
+    rng = np.random.RandomState(0)
+    im_q = jnp.asarray(rng.rand(b_global, P, S, S, 3), jnp.float32)
+    im_k = jnp.asarray(rng.rand(b_global, P, S, S, 3), jnp.float32)
+
+    print(f"# state+step built at +{time.perf_counter() - T0:.0f}s",
+          file=sys.stderr, flush=True)
+    with mesh:
+        state = replicate_to_mesh(state, mesh)
+        im_q = shard_batch(im_q, mesh)
+        im_k = shard_batch(im_k, mesh)
+        t0 = time.perf_counter()
+        state, metrics = step(state, im_q, im_k, jax.random.PRNGKey(1))
+        fetch_scalar(metrics["loss"])
+        print(f"# warmup (compile or cache load): "
+              f"{time.perf_counter() - t0:.0f}s", file=sys.stderr, flush=True)
+        with jax.profiler.trace(trace_dir):
+            for i in range(steps):
+                state, metrics = step(state, im_q, im_k,
+                                      jax.random.PRNGKey(2 + i))
+            fetch_scalar(metrics["loss"])
+
+
+def summarize(trace_dir: str, steps: int, top: int):
+    paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/",
+                                   "*.trace.json.gz"))
+    if not paths:
+        print(json.dumps({"error": "no trace produced"}))
+        return
+    with gzip.open(sorted(paths)[-1]) as f:
+        d = json.load(f)
+    ev = d.get("traceEvents", [])
+    tpu_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+
+    def direction(tf_op: str) -> str:
+        if "transpose(jvp(" in tf_op:
+            return "bwd"
+        if "jvp(" in tf_op:
+            return "fwd"
+        return "other"
+
+    per_prog = defaultdict(lambda: [0.0, 0])
+    per_cat = defaultdict(lambda: [0.0, 0])     # (dir, hlo_category)
+    per_op = defaultdict(lambda: [0.0, 0, 0.0, ""])  # name -> t,n,flops,tfop
+    for e in ev:
+        if e.get("ph") != "X" or e["pid"] not in tpu_pids:
+            continue
+        name, dur = e["name"], e.get("dur", 0.0)  # dur in us
+        args = e.get("args") or {}
+        if name.startswith("jit_"):
+            per_prog[name.split("(")[0]][0] += dur
+            per_prog[name.split("(")[0]][1] += 1
+            continue
+        if not args.get("hlo_category"):
+            continue                      # per-step region rows, not ops
+        tf_op = args.get("tf_op", "")
+        cat = (direction(tf_op), args["hlo_category"])
+        per_cat[cat][0] += dur
+        per_cat[cat][1] += 1
+        rec = per_op[name]
+        rec[0] += dur
+        rec[1] += 1
+        rec[2] += float(args.get("model_flops", 0) or 0)
+        rec[3] = tf_op
+
+    rows = sorted(per_prog.items(), key=lambda kv: -kv[1][0])
+    print("== programs")
+    for name, (dur, n) in rows[:5]:
+        print(f"{dur / 1e3 / steps:9.3f} ms/step  x{n:<4d} {name[:80]}")
+
+    total = sum(v[0] for v in per_cat.values())
+    print(f"\n== device time by (direction, category) "
+          f"(total {total / 1e3 / steps:.2f} ms/step)")
+    for (dirn, cat), (dur, n) in sorted(per_cat.items(),
+                                        key=lambda kv: -kv[1][0]):
+        print(f"{dur / 1e3 / steps:9.3f} ms/step  x{n / steps:<6.0f} "
+              f"{dirn:5s} {cat}")
+
+    print(f"\n== top ops")
+    for name, (dur, n, flops, tf_op) in sorted(
+            per_op.items(), key=lambda kv: -kv[1][0])[:top]:
+        tflops = flops / (dur * 1e6) if dur else 0.0   # flops/us -> TF/s
+        short = tf_op.replace("jit(step)/", "").replace(
+            "transpose(jvp(MultiTaskWrapper))", "BWD").replace(
+            "jvp(MultiTaskWrapper)", "FWD")
+        print(f"{dur / 1e3 / steps:8.3f} ms/step x{n / steps:<4.0f} "
+              f"{tflops:6.1f}TF/s {name[:28]:28s} {short[:70]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--parse-only", default=None, metavar="DIR",
+                    help="summarize an existing trace dir, no device run")
+    args = ap.parse_args()
+    if args.parse_only:
+        summarize(args.parse_only, args.steps, args.top)
+        return
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="rspnet_prof_")
+    run_and_trace(args.batch, args.steps, trace_dir)
+    summarize(trace_dir, args.steps, args.top)
+    print(f"# trace: {trace_dir}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
