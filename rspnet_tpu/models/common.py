@@ -210,6 +210,98 @@ def _max_pool3d_separable_rw(x: jnp.ndarray, k, s, p) -> jnp.ndarray:
     return x
 
 
+def _pool1d_out_len(d: int, k: int, s: int, p: int) -> int:
+    return (d + 2 * p - k) // s + 1
+
+
+def _pool1d_bwd_fm(vin, vout, g, axis: int, k: int, s: int, p: int):
+    """Hand-written VJP of a 1-axis max pool: first-match tie routing,
+    pure elementwise XLA (slices, compares, interior-padded adds) — no
+    select_and_scatter. The -inf pad cells never equal the (finite)
+    window max, so their gradient slots are dropped by the final unpad.
+    """
+    import jax
+
+    if k == 1 and s == 1 and p == 0:
+        return g
+    d = vin.shape[axis]
+    n = _pool1d_out_len(d, k, s, p)
+    span = (n - 1) * s + 1
+    pad_hi = max(0, (n - 1) * s + k - d - p)
+    pads = [(0, 0)] * vin.ndim
+    pads[axis] = (p, pad_hi)
+    vpad = jnp.pad(vin, pads, constant_values=-jnp.inf)
+    lp = d + p + pad_hi
+    matched = jnp.zeros(vout.shape, jnp.bool_)
+    acc = None
+    zero = jnp.zeros((), g.dtype)
+    for off in range(k):
+        core = jax.lax.slice_in_dim(vpad, off, off + span, stride=s,
+                                    axis=axis)
+        eq = core == vout
+        take = jnp.logical_and(eq, jnp.logical_not(matched))
+        matched = jnp.logical_or(matched, eq)
+        val = jnp.where(take, g, zero)
+        cfg = [(0, 0, 0)] * vin.ndim
+        # lax.pad output length = off + n + (n-1)*(s-1) + hi, and
+        # n + (n-1)(s-1) == span, so hi = lp - off - span
+        cfg[axis] = (off, lp - off - span, s - 1)
+        contrib = jax.lax.pad(val, zero, cfg)
+        acc = contrib if acc is None else acc + contrib
+    return jax.lax.slice_in_dim(acc, p, p + d, axis=axis)
+
+
+def _max_pool3d_fm_impl(x, k, s, p):
+    return _max_pool3d_separable_rw(x, k, s, p)
+
+
+def _max_pool3d_fm_fwd(x, k, s, p):
+    stages = [x]
+    for axis in (1, 2, 3):
+        ka, sa, pa = k[axis - 1], s[axis - 1], p[axis - 1]
+        v = stages[-1]
+        if not (ka == 1 and sa == 1 and pa == 0):
+            win, st = [1, 1, 1], [1, 1, 1]
+            pd = [(0, 0), (0, 0), (0, 0)]
+            win[axis - 1], st[axis - 1], pd[axis - 1] = ka, sa, (pa, pa)
+            v = nn.max_pool(v, window_shape=tuple(win), strides=tuple(st),
+                            padding=pd)
+        stages.append(v)
+    return stages[-1], tuple(stages)
+
+
+def _max_pool3d_fm_bwd(k, s, p, stages, g):
+    for axis in (3, 2, 1):
+        g = _pool1d_bwd_fm(stages[axis - 1], stages[axis], g, axis,
+                           k[axis - 1], s[axis - 1], p[axis - 1])
+    return (g,)
+
+
+def _make_max_pool3d_fm():
+    """Separable reduce_window forward + first-match elementwise backward.
+
+    STATUS: measured dead end — grad 2-4x SLOWER than rw-sep's 3-window
+    select_and_scatter at every pool site (stem 24.4 vs 5.4 ms at b128;
+    XLA bare pads don't fuse — same pathology as the "sep" variant).
+    Kept opt-in (RSPNET_POOL=fm), tested bit-equal on unique values.
+
+    The idea: the rw-sep VJP lowers each axis to select_and_scatter
+    (~10 ms of the b128 step at 0.2 TF/s); this custom VJP replaces it
+    with shifted compares + interior-padded adds. Tie routing: the
+    first matching window offset per axis takes the whole cotangent
+    (torch/XLA-style route-to-one-winner, composed per axis), vs
+    jnp.maximum's 0.5/0.5 split — gradient sum conserved either way.
+    """
+    import jax
+
+    f = jax.custom_vjp(_max_pool3d_fm_impl, nondiff_argnums=(1, 2, 3))
+    f.defvjp(_max_pool3d_fm_fwd, _max_pool3d_fm_bwd)
+    return f
+
+
+_max_pool3d_fm = None
+
+
 def max_pool3d(x: jnp.ndarray, kernel, strides, padding=0) -> jnp.ndarray:
     """Torch MaxPool3d semantics (floor mode, -inf padding).
 
@@ -228,6 +320,11 @@ def max_pool3d(x: jnp.ndarray, kernel, strides, padding=0) -> jnp.ndarray:
                            padding=_pad3(padding))
     if choice == "sep":
         return _max_pool3d_separable(x, k, s, _triple(padding))
+    if choice == "fm":
+        global _max_pool3d_fm
+        if _max_pool3d_fm is None:
+            _max_pool3d_fm = _make_max_pool3d_fm()
+        return _max_pool3d_fm(x, k, s, _triple(padding))
     if choice == "pallas":
         import jax
 

@@ -1,13 +1,24 @@
 """Pallas TPU kernels: separable max pool forward + backward.
 
-Why this exists (profile-driven, see CLAUDE.md 2026-08-17): max pooling
-was ~41 ms of the 120 ms b128 S3D-G MoCo step. The XLA fix — one
-reduce_window per axis (models/common.py:_max_pool3d_separable_rw) — cut
-the step to 106 ms, but ~25 ms of pool cost remains: reduce_window
-forwards run at ~2 TF/s and each VJP still lowers to a (3-element)
-select-and-scatter. Speed-of-light for every pool in the model is pure
-HBM traffic (read x [+g], write out [+grad]) ≈ 3-5 ms/step total; these
-kernels get there by keeping ALL window math in VMEM:
+STATUS: measured dead end — kept opt-in (RSPNET_POOL=pallas), correct
+and tested, NOT the default. Model-level A/B on the real chip
+(utils/bench_model_bwd.py, b128 S3D-G): fwd 20.1→42.1 ms, grad
+66.1→118.5 ms vs the rw-sep XLA pools — each pallas_call is a fusion
+boundary that forces its input/output through HBM, costing more than
+the in-kernel wins; full-model cold compile also exceeded 10 min.
+Micro-level the kernels DO win where XLA reduce_window is pathological
+(the (4,7,7,512) site: grad 2.6 vs 11.9 ms), so the code is kept as a
+working Pallas reference for VMEM-resident window ops.
+
+Original motivation (profile-driven, see CLAUDE.md 2026-08-17): max
+pooling was ~41 ms of the 120 ms b128 S3D-G MoCo step. The XLA fix —
+one reduce_window per axis (models/common.py:_max_pool3d_separable_rw)
+— cut the step to 106 ms, but ~25 ms of pool cost remains:
+reduce_window forwards run at ~2 TF/s and each VJP still lowers to a
+(3-element) select-and-scatter. Speed-of-light for every pool in the
+model is pure HBM traffic (read x [+g], write out [+grad]) ≈ 3-5
+ms/step total; these kernels get there by keeping ALL window math in
+VMEM:
 
 - forward: one program per (batch, [T-slice]) block; per axis, the
   padded stage is materialized into a VMEM scratch ref and each window

@@ -11,9 +11,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rspnet_tpu.models.common import (_max_pool3d_separable,
+from rspnet_tpu.models.common import (_make_max_pool3d_fm,
+                                      _max_pool3d_separable,
                                       _max_pool3d_separable_rw, _pad3,
                                       _triple, max_pool3d)
+
+_fm = _make_max_pool3d_fm()
 
 # (input [T,H,W,C], kernel, stride, pad) — every geometry used by the zoo
 CASES = [
@@ -37,7 +40,7 @@ def _ref_pool(x, k, s, p):
 def test_forward_equivalence(ishape, k, s, p):
     x = jax.random.normal(jax.random.PRNGKey(0), (2, *ishape), jnp.float32)
     ref = _ref_pool(x, k, s, p)
-    for impl in (_max_pool3d_separable, _max_pool3d_separable_rw):
+    for impl in (_max_pool3d_separable, _max_pool3d_separable_rw, _fm):
         sep = impl(x, _triple(k), _triple(s), _triple(p))
         assert ref.shape == sep.shape
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(sep))
@@ -51,13 +54,20 @@ def test_gradient_equivalence(ishape, k, s, p):
     n = int(np.prod((2, *ishape)))
     x = jnp.asarray(rng.permutation(n).reshape((2, *ishape)), jnp.float32)
     g_ref = jax.grad(lambda x: jnp.sum(_ref_pool(x, k, s, p)))(x)
-    for impl in (_max_pool3d_separable, _max_pool3d_separable_rw):
+    for impl in (_max_pool3d_separable, _max_pool3d_separable_rw, _fm):
         g_sep = jax.grad(lambda x: jnp.sum(
             impl(x, _triple(k), _triple(s), _triple(p))))(x)
         np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_sep))
 
 
-@pytest.mark.parametrize("ishape,k,s,p", CASES)
+def _pallas_supported_cases():
+    """Pallas kernels are stride-1 only (Mosaic strided ref ops are
+    32-bit / 128-lane — see ops/pallas_pool.py); strided pools fall
+    back to rw-sep."""
+    return [c for c in CASES if all(s == 1 for s in _triple(c[2]))]
+
+
+@pytest.mark.parametrize("ishape,k,s,p", _pallas_supported_cases())
 def test_pallas_forward_equivalence(ishape, k, s, p):
     from rspnet_tpu.ops.pallas_pool import (max_pool3d_pallas,
                                             pallas_pool_supported)
@@ -70,7 +80,13 @@ def test_pallas_forward_equivalence(ishape, k, s, p):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
 
-@pytest.mark.parametrize("ishape,k,s,p", CASES[:4])
+def test_pallas_strided_unsupported():
+    from rspnet_tpu.ops.pallas_pool import pallas_pool_supported
+    assert not pallas_pool_supported((2, 8, 56, 56, 4), (1, 3, 3),
+                                     (1, 2, 2), (0, 1, 1), jnp.float32)
+
+
+@pytest.mark.parametrize("ishape,k,s,p", _pallas_supported_cases())
 def test_pallas_gradient_equivalence(ishape, k, s, p):
     from rspnet_tpu.ops.pallas_pool import max_pool3d_pallas
     rng = np.random.RandomState(1)
@@ -93,6 +109,26 @@ def test_pallas_tie_routing_first_match_conserves_gradient():
         max_pool3d_pallas(x, kt, st, pt, True)))(x)
     flat = np.asarray(g).ravel()
     np.testing.assert_array_equal(flat, [1.0, 0.0, 1.0, 0.0])
+
+
+def test_fm_tie_routing_first_match_conserves_gradient():
+    """On exact ties the fm bwd routes the whole cotangent to the FIRST
+    matching window offset (torch-like); gradient sum conserved."""
+    x = jnp.zeros((1, 1, 1, 4, 1), jnp.float32)     # all tied
+    g = jax.grad(lambda x: jnp.sum(
+        _fm(x, (1, 1, 2), (1, 1, 2), (0, 0, 0))))(x)
+    flat = np.asarray(g).ravel()
+    np.testing.assert_array_equal(flat, [1.0, 0.0, 1.0, 0.0])
+
+
+def test_fm_overlapping_tie_gradient_sum():
+    """Overlapping stride-1 windows on tied values: each output window
+    routes its unit cotangent to one input; total gradient sum == number
+    of output positions."""
+    x = jnp.zeros((1, 1, 1, 6, 1), jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(
+        _fm(x, (1, 1, 3), (1, 1, 1), (0, 0, 1))))(x)
+    assert float(np.asarray(g).sum()) == 6.0
 
 
 def test_public_entry_uses_separable(monkeypatch):

@@ -73,9 +73,11 @@ def main():
         fetch(out)
         return (time.perf_counter() - t0 - rtt) / args.iters
 
-    from rspnet_tpu.models.common import _max_pool3d_separable_rw
+    from rspnet_tpu.models.common import (_make_max_pool3d_fm,
+                                          _max_pool3d_separable_rw)
     from rspnet_tpu.ops.pallas_pool import (max_pool3d_pallas,
                                             pallas_pool_supported)
+    pool_fm = _make_max_pool3d_fm()
 
     def pool_xla(x, k, s, p):
         return nn.max_pool(x, window_shape=_triple(k), strides=_triple(s),
@@ -93,7 +95,9 @@ def main():
                                  jax.default_backend() == "cpu")
 
     impls = [("xla", pool_xla), ("sep", pool_sep), ("rw-sep", pool_rw_sep),
-             ("pallas", pool_pallas)]
+             ("pallas", pool_pallas),
+             ("fm", lambda x, k, s, p: pool_fm(x, _triple(k), _triple(s),
+                                               _triple(p)))]
     if args.impls:
         want = set(args.impls.split(","))
         impls = [iv for iv in impls if iv[0] in want]
