@@ -127,7 +127,13 @@ def summarize(trace_dir: str, steps: int, top: int):
         rec[3] = tf_op
 
     rows = sorted(per_prog.items(), key=lambda kv: -kv[1][0])
-    print("== programs")
+    # Normalize by the EXECUTION COUNT the trace actually holds, not the
+    # requested --steps: the profiler window can capture extra in-flight
+    # executions (the 2026-08-17 63-vs-106 ms/step "mystery" was exactly
+    # this — 5 captured executions divided by steps=3).
+    if rows and rows[0][1][1] > 0:
+        steps = rows[0][1][1]
+    print(f"== programs (normalizing by {steps} captured executions)")
     for name, (dur, n) in rows[:5]:
         print(f"{dur / 1e3 / steps:9.3f} ms/step  x{n:<4d} {name[:80]}")
 
