@@ -175,7 +175,13 @@ def diff_speed_gather(im_q, im_k, key, cfg: MoCoConfig):
     idx_opp = jnp.where(is_fast[:, None], speed1[None, :], speed2[None, :])
 
     def gather_t(x, idx):
-        # x: [B, T, H, W, C], idx: [B, T_real]
+        # x: [B, T, H, W, C], idx: [B, T_real]. Batched take along T.
+        # Measured alternative (2026-08-17): a one-hot einsum at
+        # Precision.HIGHEST (exactness needs f32; default TPU matmul
+        # rounds through bf16) was SLOWER — 110.9 vs 106.5 ms/step at
+        # b128 — despite the gather's ~2.7 ms of element-gather + layout
+        # copies. Whole-T-slice gathers lower fine; only per-PIXEL
+        # gathers are poison (see ops/augment.py).
         return jax.vmap(lambda clip, i: jnp.take(clip, i, axis=0))(x, idx)
 
     im_q_real = gather_t(im_q, idx_same)
