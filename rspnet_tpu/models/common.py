@@ -325,13 +325,19 @@ def max_pool3d(x: jnp.ndarray, kernel, strides, padding=0) -> jnp.ndarray:
         if _max_pool3d_fm is None:
             _max_pool3d_fm = _make_max_pool3d_fm()
         return _max_pool3d_fm(x, k, s, _triple(padding))
-    if choice == "pallas":
+    if choice in ("pallas", "pallas-auto"):
         import jax
 
         from ..ops.pallas_pool import (max_pool3d_pallas,
                                        pallas_pool_supported)
         p = _triple(padding)
-        if pallas_pool_supported(x.shape, k, s, p, x.dtype):
+        # pallas-auto: only the geometry where the kernel beats the XLA
+        # pool at micro level INCLUDING its fusion-boundary cost (the
+        # 7x7-spatial inception sites, where reduce_window is
+        # pathological: grad 2.6 vs 11.9 ms at b128)
+        want = (choice == "pallas"
+                or (x.shape[2] == 7 and x.shape[3] == 7))
+        if want and pallas_pool_supported(x.shape, k, s, p, x.dtype):
             return max_pool3d_pallas(
                 x, k, s, p, jax.default_backend() == "cpu")
     return _max_pool3d_separable_rw(x, k, s, _triple(padding))
