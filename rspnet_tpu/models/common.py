@@ -187,6 +187,26 @@ def _max_pool3d_separable(x: jnp.ndarray, k, s, p) -> jnp.ndarray:
     return x
 
 
+def _rw_pool_stages(x: jnp.ndarray, k, s, p):
+    """Per-axis separable reduce_window max pool; returns the stage
+    chain [x, after-T, after-H, after-W] (trivial axes repeat the
+    previous stage). Shared by the rw-sep pool and the fm custom VJP so
+    their forwards cannot diverge."""
+    stages = [x]
+    for axis in (1, 2, 3):
+        ka, sa, pa = k[axis - 1], s[axis - 1], p[axis - 1]
+        v = stages[-1]
+        if not (ka == 1 and sa == 1 and pa == 0):
+            win = [1, 1, 1]
+            st = [1, 1, 1]
+            pd = [(0, 0), (0, 0), (0, 0)]
+            win[axis - 1], st[axis - 1], pd[axis - 1] = ka, sa, (pa, pa)
+            v = nn.max_pool(v, window_shape=tuple(win), strides=tuple(st),
+                            padding=pd)
+        stages.append(v)
+    return stages
+
+
 def _max_pool3d_separable_rw(x: jnp.ndarray, k, s, p) -> jnp.ndarray:
     """Separable max pool via one reduce_window per non-trivial axis.
 
@@ -197,17 +217,7 @@ def _max_pool3d_separable_rw(x: jnp.ndarray, k, s, p) -> jnp.ndarray:
     monolithic 3x3x3 select-and-scatter measured 0.2 TF/s and 23% of the
     whole b128 train step; see CLAUDE.md profiling notes).
     """
-    for axis in (1, 2, 3):
-        ka, sa, pa = k[axis - 1], s[axis - 1], p[axis - 1]
-        if ka == 1 and sa == 1 and pa == 0:
-            continue
-        win = [1, 1, 1]
-        st = [1, 1, 1]
-        pd = [(0, 0), (0, 0), (0, 0)]
-        win[axis - 1], st[axis - 1], pd[axis - 1] = ka, sa, (pa, pa)
-        x = nn.max_pool(x, window_shape=tuple(win), strides=tuple(st),
-                        padding=pd)
-    return x
+    return _rw_pool_stages(x, k, s, p)[-1]
 
 
 def _pool1d_out_len(d: int, k: int, s: int, p: int) -> int:
@@ -256,17 +266,7 @@ def _max_pool3d_fm_impl(x, k, s, p):
 
 
 def _max_pool3d_fm_fwd(x, k, s, p):
-    stages = [x]
-    for axis in (1, 2, 3):
-        ka, sa, pa = k[axis - 1], s[axis - 1], p[axis - 1]
-        v = stages[-1]
-        if not (ka == 1 and sa == 1 and pa == 0):
-            win, st = [1, 1, 1], [1, 1, 1]
-            pd = [(0, 0), (0, 0), (0, 0)]
-            win[axis - 1], st[axis - 1], pd[axis - 1] = ka, sa, (pa, pa)
-            v = nn.max_pool(v, window_shape=tuple(win), strides=tuple(st),
-                            padding=pd)
-        stages.append(v)
+    stages = _rw_pool_stages(x, k, s, p)
     return stages[-1], tuple(stages)
 
 

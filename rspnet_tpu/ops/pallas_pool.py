@@ -179,11 +179,15 @@ _VMEM_BYTES = 48 * 1024 * 1024
 
 
 def _tile_bytes(shape4, dtype) -> int:
-    """Bytes of one [T,H,W,C] VMEM buffer incl. tiling pad (lane dim C
-    pads to 128, sublane dim W to 8)."""
+    """Bytes of one [T,H,W,C] VMEM buffer incl. tiling pad: the lane dim
+    C rounds up to a multiple of 128 and the sublane dim W to the
+    dtype's sublane tile (8 for 4-byte types, 16 for bf16, 32 for
+    1-byte: packed tiles are (32 // itemsize // 4 * 8, 128))."""
     t, h, w, c = shape4
     esize = jnp.dtype(dtype).itemsize
-    return t * h * (-(-w // 8) * 8) * max(c, 128) * esize
+    sublane = 8 * max(1, 4 // esize)
+    return (t * h * (-(-w // sublane) * sublane)
+            * (-(-c // 128) * 128) * esize)
 
 
 def _stage_shapes(shape4, plans):

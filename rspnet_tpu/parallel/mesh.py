@@ -128,6 +128,36 @@ def fetch_scalar(x) -> float:
     return float(np.asarray(x))
 
 
+def time_enqueued(fn, *args, iters: int = 10) -> float:
+    """Fetch-synced wall time per call of ``fn(*args)`` (a jitted program
+    returning one fetchable scalar): enqueue ``iters`` in-order calls,
+    sync on a dependent fetch of the last output, subtract the fetch
+    round-trip.
+
+    The RTT is calibrated on a COMPLETED-BUT-NEVER-FETCHED output:
+    re-fetching an already-fetched jax.Array is served from its host-side
+    numpy cache (measured 9.2 ms -> 0.03 ms), which silently zeroes the
+    calibration and biases every result by +RTT/iters.
+    """
+    import time
+
+    cals = [fn(*args) for _ in range(3)]   # first call compiles/warms
+    out_warm = fn(*args)
+    fetch_scalar(out_warm)           # in-order execution: all complete
+    rtts = []
+    for c in cals:                   # completed, unfetched -> pure RTT
+        t0 = time.perf_counter()
+        fetch_scalar(c)
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)                  # min: a congestion spike in one
+    # calibration fetch would otherwise over-subtract (negative results)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    fetch_scalar(out)
+    return (time.perf_counter() - t0 - rtt) / iters
+
+
 def local_shard(global_batch_size: int, mesh: Mesh, axis: str = "data") -> int:
     n = mesh.shape[axis]
     if global_batch_size % n != 0:

@@ -46,7 +46,7 @@ def test_forward_equivalence(ishape, k, s, p):
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(sep))
 
 
-@pytest.mark.parametrize("ishape,k,s,p", CASES[:4])
+@pytest.mark.parametrize("ishape,k,s,p", CASES)
 def test_gradient_equivalence(ishape, k, s, p):
     # distinct values everywhere so the argmax (hence the gradient
     # routing) is unambiguous

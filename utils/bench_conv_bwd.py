@@ -69,16 +69,13 @@ def main():
         return jax.lax.conv_general_dilated(
             x, w, (stride,) * 3, "SAME", dimension_numbers=dn)
 
+    from rspnet_tpu.parallel import time_enqueued
+
     def timed(fn, *a):
-        """K chained applications inside one jit; dependent fetch; - RTT."""
-        out = fn(*a)
-        float(np.asarray(out))                       # compile + settle
-        t0 = time.perf_counter()
-        float(np.asarray(out))
-        rtt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(np.asarray(fn(*a)))
-        return (time.perf_counter() - t0 - rtt) / args.iters
+        """K chained applications inside one jit; dependent fetch; - RTT
+        (time_enqueued calibrates RTT on an unfetched output — refetching
+        a fetched jax.Array reads a host-side cache and returns ~0)."""
+        return time_enqueued(fn, *a, iters=1) / args.iters
 
     results = []
     for name, ishape, k, stride, cout in SHAPES:
@@ -104,11 +101,20 @@ def main():
             def loss(x, w):
                 return jnp.sum(conv(x, w, _s).astype(jnp.float32))
             def body(i, acc):
+                # BOTH operands must depend on the loop carry: dgrad
+                # reads only w and wgrad reads only x (the sum-loss
+                # cotangent is constant ones), so an invariant operand
+                # lets XLA hoist that gradient out of the loop entirely
+                # (verified on compiled HLO: wgrad was hoisted to ENTRY
+                # when only w was perturbed).
                 wi = w + (acc * 1e-30).astype(w.dtype)
-                gx, gw = jax.grad(loss, argnums=(0, 1))(x, wi)
-                # accumulate through BOTH grads so neither dgrad nor wgrad
-                # can be dead-code eliminated
-                return (acc + jnp.mean(gx).astype(jnp.float32)
+                xi = x + (acc * 1e-30).astype(x.dtype)
+                val, (gx, gw) = jax.value_and_grad(
+                    loss, argnums=(0, 1))(xi, wi)
+                # accumulate through the value and BOTH grads so nothing
+                # is dead-code eliminated (bwd_ms = fwd + dgrad + wgrad)
+                return (acc + val * 1e-30
+                        + jnp.mean(gx).astype(jnp.float32)
                         + jnp.mean(gw).astype(jnp.float32))
             return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
 

@@ -54,23 +54,17 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (B, 16, 112, 112, 3),
                           jnp.float32)
 
-    def fetch(v) -> float:
-        return float(np.asarray(v))
+    from rspnet_tpu.parallel import time_enqueued
 
     def measure(fn, *a) -> float:
+        # RTT calibrated on an unfetched output inside time_enqueued
+        # (refetching a fetched jax.Array reads its host-side cache and
+        # returns ~0, which would bias every result by +RTT/iters)
         t0 = time.perf_counter()
-        out = fn(*a)                    # compile (cold) or load (cached)
-        fetch(out)
-        print(f"#   compiled+ran in {time.perf_counter() - t0:.0f}s",
+        dt = time_enqueued(fn, *a, iters=args.iters)
+        print(f"#   compiled+measured in {time.perf_counter() - t0:.0f}s",
               file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        fetch(out)                      # completed value -> pure RTT
-        rtt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(args.iters):     # in-order device execution
-            out = fn(*a)
-        fetch(out)                      # waits for all enqueued calls
-        return (time.perf_counter() - t0 - rtt) / args.iters
+        return dt
 
     for gate in (True, False):
         model = S3DG(with_classifier=False, gate=gate,

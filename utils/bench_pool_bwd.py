@@ -58,20 +58,13 @@ def main():
          (1, 1, 1), (1, 1, 1)),
     ]
 
-    def fetch(v) -> float:
-        return float(np.asarray(v))
+    from rspnet_tpu.parallel import time_enqueued
 
     def measure(fn, *a) -> float:
-        out = fn(*a)
-        fetch(out)
-        t0 = time.perf_counter()
-        fetch(out)
-        rtt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn(*a)
-        fetch(out)
-        return (time.perf_counter() - t0 - rtt) / args.iters
+        # RTT calibrated on an unfetched output (refetching a fetched
+        # jax.Array reads its host-side cache and returns ~0, which
+        # would bias every result by +RTT/iters)
+        return time_enqueued(fn, *a, iters=args.iters)
 
     from rspnet_tpu.models.common import (_make_max_pool3d_fm,
                                           _max_pool3d_separable_rw)
