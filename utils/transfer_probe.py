@@ -73,17 +73,22 @@ def main(argv=None):
          "-x", "{%s, batch_size: 32, num_epochs: %d, "
          "moco+: {k: 4096, packed_frames: true}}" % (_DATA, args.epochs)])
 
+    # measured gotchas (CLAUDE.md, round 2): probe lr 0.05+ diverges on
+    # the unnormalized GAP features (use 0.01 + --no-scale-lr), and
+    # model_best-by-loss lands on epoch 1 (queue fills -> loss rises,
+    # classic MoCo artifact) so probe from the FINAL checkpoint.
     probe_x = ("{%s, batch_size: 32, num_epochs: %d, only_train_fc: true, "
+               "optimizer+: {lr: 0.01}, "
                "temporal_transforms+: {frame_rate: null}}"
                % (_DATA, args.probe_epochs))
     accs = {}
-    for name, extra in (("moco", ["--mc", str(pre / "model_best.pth.tar")]),
+    for name, extra in (("moco", ["--mc", str(pre / "checkpoint.pth.tar")]),
                         ("random", [])):
         exp = out / f"probe_{name}"
         run([sys.executable, "finetune.py",
              "-c", "config/finetune/ucf101_resnet18.jsonnet",
-             "-e", str(exp), "--seed", str(args.seed), "-x", probe_x]
-            + extra)
+             "-e", str(exp), "--seed", str(args.seed), "--no-scale-lr",
+             "-x", probe_x] + extra)
         accs[name] = final_acc(exp)
 
     print(json.dumps({
