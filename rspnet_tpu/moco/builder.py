@@ -146,6 +146,11 @@ def diff_speed_gather(im_q, im_k, key, cfg: MoCoConfig):
     """
     import numpy as np
     B = im_q.shape[0]
+    if cfg.packed_frames and cfg.t_load is None:
+        raise ValueError(
+            "moco.packed_frames=True requires t_load (the unpacked window "
+            "length, normally temporal_transforms.size) — the packed input "
+            "no longer carries it in its shape")
     T = cfg.t_load if cfg.packed_frames else im_q.shape[1]
     t_real = real_clip_len(T, cfg.diff_speed)
     key_perm, key_speed = jax.random.split(key)
@@ -194,6 +199,15 @@ def queue_update(queue, queue_ptr, keys):
     """Ring-buffer enqueue of (already globally gathered) keys
     (reference :345-359). keys: [global_B, dim]."""
     batch = keys.shape[0]
+    # Load-bearing static check (reference asserts it at runtime,
+    # _dequeue_and_enqueue): XLA CLAMPS a dynamic_update_slice start
+    # instead of wrapping, so a non-divisible K would silently overwrite
+    # live columns while the pointer advances modulo K — writes and
+    # pointer permanently disagree, training degrades with no error.
+    if queue.shape[1] % batch != 0:
+        raise ValueError(
+            f"moco.k ({queue.shape[1]}) must be divisible by the global "
+            f"batch ({batch}); see utils/moco.py:replace_moco_k_in_config")
     queue = jax.lax.dynamic_update_slice(
         queue, keys.T.astype(queue.dtype), (0, queue_ptr))
     queue_ptr = (queue_ptr + batch) % queue.shape[1]
@@ -284,10 +298,11 @@ def make_train_step(model, optimizer, cfg: MoCoConfig,
             state.params_q)
         stats_q, logits1, logits2, l_pos_m, l_neg_m, loss_a, loss_m = aux
 
-        # 5. data-parallel gradient mean (replaces DDP allreduce)
+        # 5. data-parallel gradient mean (replaces DDP allreduce);
+        #    loss is only consumed through the metrics dict, which is
+        #    pmean'd wholesale below — no separate collective needed
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params_q)
@@ -344,9 +359,15 @@ def make_eval_step(model, cfg: MoCoConfig,
         im_q_real, im_k_real, im_k_neg = diff_speed_gather(
             im_q, im_k, rng, cfg)
 
-        k_neg_a, k_neg_m = apply_eval(state.params_k, state.batch_stats_k,
-                                      im_k_neg)
-        k_a, k_m = apply_eval(state.params_k, state.batch_stats_k, im_k_real)
+        # one fused 2B key forward, like the train step (half the kernel
+        # launches / dispatches; eval BN uses running stats so batching
+        # the two clips cannot change any statistic)
+        b = im_k_real.shape[0]
+        k2_a, k2_m = apply_eval(state.params_k, state.batch_stats_k,
+                                jnp.concatenate([im_k_real, im_k_neg],
+                                                axis=0))
+        k_a, k_neg_a = k2_a[:b], k2_a[b:]
+        k_m, k_neg_m = k2_m[:b], k2_m[b:]
         q_a, q_m = apply_eval(state.params_q, state.batch_stats_q, im_q_real)
 
         t = cfg.t

@@ -116,23 +116,16 @@ class MultiTaskWrapper(nn.Module):
                 raise ValueError(f"Unknown fc_type {self.fc_type!r}")
 
     def __call__(self, x, train: bool = False):
-        feat = self.encoder.features(x, train)
-        if self.finetune:
-            return self.fc(global_avg_pool(feat))
-        x1 = _l2_normalize(self.fc1(feat, train))
-        x2 = self.fc2(feat, train)
-        if self.fc_type == "speednet":
-            x2 = nn.sigmoid(x2)
-        else:
-            x2 = _l2_normalize(x2)
-        return x1, x2
+        return self.forward_with_feature(x, train)[0]
 
     def features(self, x, train: bool = False):
         return self.encoder.features(x, train)
 
     def forward_with_feature(self, x, train: bool = False):
         """Returns (head outputs, feature map) — used by CAM visualization
-        (reference caches self.feat, split_wrapper.py:129)."""
+        (reference caches self.feat, split_wrapper.py:129). ``__call__``
+        is this minus the feature map, so head behavior cannot diverge
+        between training and visualization."""
         feat = self.encoder.features(x, train)
         if self.finetune:
             return self.fc(global_avg_pool(feat)), feat

@@ -48,6 +48,24 @@ def test_queue_update_ring():
     np.testing.assert_array_equal(np.asarray(queue[:, 4:]), 2 * np.ones((4, 4)))
 
 
+def test_queue_update_rejects_nondivisible_batch():
+    """XLA clamps (not wraps) dynamic_update_slice starts, so K % batch
+    != 0 would silently corrupt the ring buffer — must raise instead."""
+    queue = jnp.zeros((4, 10))
+    ptr = jnp.asarray(0, jnp.int32)
+    with pytest.raises(ValueError, match="divisible"):
+        queue_update(queue, ptr, jnp.ones((4, 4)))
+
+
+def test_packed_frames_requires_t_load():
+    from rspnet_tpu.moco.builder import diff_speed_gather
+    cfg = MoCoConfig(dim=8, k=16, m=0.999, t=0.07, diff_speed=(2,),
+                     packed_frames=True)   # t_load left at None
+    x = jnp.zeros((2, 24, 4, 4, 3))
+    with pytest.raises(ValueError, match="t_load"):
+        diff_speed_gather(x, x, jax.random.PRNGKey(0), cfg)
+
+
 def test_speed_index_sets():
     table = np.asarray(speed_index_sets(32, (2,)))
     np.testing.assert_array_equal(table, [np.arange(0, 32, 2)])
