@@ -102,7 +102,6 @@ def _load_one(catalog, cfg: "PipelineConfig", index: int,
               rng: np.random.Generator):
     """Decode + temporal select + crop + resize for one sample (runs in a
     worker thread or process)."""
-    import cv2
     c = cfg
     sample = catalog[index]
     with open_video(sample.video_path) as vr:
@@ -133,6 +132,8 @@ def _load_one(catalog, cfg: "PipelineConfig", index: int,
             # fused augment does crop+resize in one gather
             clips.append(np.ascontiguousarray(clip))
             continue
+        import cv2  # only the host-geometry path needs OpenCV; the
+        # device_geometry production path must not require it
         h, w = clip.shape[1:3]
         if c.train:
             i, j, bh, bw = _sample_crop_box(rng, h, w, c.crop_area)
@@ -299,13 +300,18 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
     batch_size *= batch_multiplier
 
     n_crop = 1
+    force_n_crop = False
     if not train:
         n_crop = tt.get_int("validate.final_n_crop") if final_validate \
             else tt.get_int("validate.n_crop", 1)
-    elif tt.get_bool("force_n_crop", False):
-        # retrieval trains-split extraction uses the final multi-crop
+    elif (tt.get_bool("force_n_crop", False)
+          and tt.get_string("type", "clip") == "clip"):
+        # retrieval train-split extraction uses the final multi-crop
         # (reference: get_temporal_transform, classification/__init__.py:
-        # 273-280 — force_n_crop -> EvenNCrop(final_n_crop))
+        # 274-282 — force_n_crop -> EvenNCrop(final_n_crop), checked ONLY
+        # in the 'clip' branch: a 'cover' train split always gets the
+        # random-phase Cover, so don't read final_n_crop there either)
+        force_n_crop = True
         n_crop = tt.get_int("validate.final_n_crop")
 
     frame_subset = None
@@ -323,7 +329,7 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
         temporal_type=tt.get_string("type", "clip"),
         n_crop=n_crop,
         eval_stride=tt.get_int("validate.stride", 1),
-        force_n_crop=tt.get_bool("force_n_crop", False),
+        force_n_crop=force_n_crop,
         out_size=st.get_int("size"),
         crop_area=((0.4, 1.0) if vid else
                    (st.get_float("crop_area.min", 0.25),
@@ -378,21 +384,52 @@ def prefetch_iterator(iterable, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
 
     def produce():
         try:
-            for item in iterable:
-                q.put(item)
-            q.put(_END)
+            it = iter(iterable)
+            while not stop.is_set():
+                try:
+                    item = next(it)
+                except StopIteration:
+                    item = _END
+                # bounded put so a consumer that exits early (debug-mode
+                # break, exception in the step body) can't strand this
+                # thread in q.put forever — that pinned the suspended
+                # loader generator and leaked its worker pool every
+                # epoch (the fd/thread accumulation class that aborted
+                # the XLA CPU client mid test suite; see CLAUDE.md)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if item is _END:
+                    return
         except BaseException as e:  # surface worker errors in the consumer
-            q.put(e)
+            while not stop.is_set():
+                try:
+                    q.put(e, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+        finally:
+            close = getattr(iterable, "close", None)
+            if close is not None:
+                close()
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=5.0)

@@ -129,9 +129,7 @@ class CvVideoReader(VideoReaderBase):
     def get_batch(self, indices) -> np.ndarray:
         cv2 = self._cv2
         indices = np.asarray(indices, dtype=np.int64)
-        order = np.argsort(indices, kind="stable")
-        sorted_idx = indices[order]
-        first, last = int(sorted_idx[0]), int(sorted_idx[-1])
+        first, last = int(indices.min()), int(indices.max())
 
         # seek near the window start, then decode forward
         pos = int(self.cap.get(cv2.CAP_PROP_POS_FRAMES))
@@ -140,7 +138,7 @@ class CvVideoReader(VideoReaderBase):
             pos = first
 
         frames = {}
-        need = set(int(i) for i in sorted_idx)
+        need = set(int(i) for i in indices)
         cur = pos
         last_ok = None
         while cur <= last:

@@ -38,6 +38,9 @@ class RetrievalEngine:
         self.debug = bool(getattr(args, "debug", False))
         self.mesh = mesh_for_args(args)
         self.world_size = self.mesh.shape["data"]
+        # crop-box sampling for device_geometry train-split extraction
+        self._crop_rng = np.random.default_rng(
+            getattr(args, "seed", None) or 0)
 
         on_tpu = jax.devices()[0].platform == "tpu"
         self.model, self.model_type = build_classifier_model(
@@ -119,9 +122,22 @@ class RetrievalEngine:
             clip_u8 = batch["clips"][0]
             B, _, H, W, _ = clip_u8.shape
             if getattr(loader.cfg, "device_geometry", False):
-                # decode-res clips: center max crop on-device
-                from ..ops.augment import center_crop_params
-                boxes = center_crop_params(B, [(H, W)]).boxes
+                # geometry moved on-device must keep the host path's crop
+                # DISTRIBUTION: the train split samples random Inception
+                # crops (reference get_transform('train'),
+                # classification/__init__.py:231-239), eval the center
+                # max crop. (Deliberate deviation kept from the
+                # reference: no color jitter on extracted features in
+                # either mode — frozen-feature retrieval.)
+                if loader.cfg.train:
+                    from ..ops.augment import _sample_crop_box
+                    boxes = np.stack([np.asarray(
+                        _sample_crop_box(self._crop_rng, H, W,
+                                         loader.cfg.crop_area),
+                        np.float32) for _ in range(B)])
+                else:
+                    from ..ops.augment import center_crop_params
+                    boxes = center_crop_params(B, [(H, W)]).boxes
             else:
                 boxes = np.array([[0, 0, H, W]] * B, np.float32)
             clips = eval_preprocess(

@@ -117,6 +117,10 @@ def sample_train_params(
     (transforms_tensor.py:107-124), random op order (:126), gray with prob p,
     flip with prob h_flip, optional blur (aug_plus).
     """
+    if len(source_hw) not in (1, batch_size):
+        raise ValueError(
+            f"source_hw must have 1 or batch_size ({batch_size}) entries, "
+            f"got {len(source_hw)}")
     boxes = np.zeros((batch_size, 4), dtype=np.float32)
     if crop_area == (1.0, 1.0):
         # identity fast path: callers with pre-cropped inputs (the engines)
@@ -159,6 +163,10 @@ def center_crop_params(batch_size: int,
                        source_hw: Sequence[Tuple[int, int]],
                        ratio: float = 1.0) -> AugmentParams:
     """Deterministic eval params: center max crop, no color ops."""
+    if len(source_hw) not in (1, batch_size):
+        raise ValueError(
+            f"source_hw must have 1 or batch_size ({batch_size}) entries, "
+            f"got {len(source_hw)}")
     boxes = np.zeros((batch_size, 4), dtype=np.float32)
     for b in range(batch_size):
         h, w = source_hw[b] if len(source_hw) > 1 else source_hw[0]

@@ -215,6 +215,33 @@ def test_prefetch_iterator_env_override(monkeypatch):
     assert list(prefetch_iterator(iter(range(5)))) == list(range(5))
 
 
+def test_prefetch_iterator_early_exit_releases_source(monkeypatch):
+    """A consumer that stops early (debug-mode break, step exception)
+    must not strand the producer thread in q.put — that pinned the
+    suspended loader generator and leaked its worker pool + fds every
+    epoch (the accumulation that aborted the XLA CPU client mid-suite,
+    CLAUDE.md round-2)."""
+    import threading
+
+    from rspnet_tpu.data.pipeline import prefetch_iterator
+    monkeypatch.setenv("RSPNET_PREFETCH", "2")
+    released = threading.Event()
+
+    def src():
+        try:
+            for i in range(10_000):
+                yield i
+        finally:
+            released.set()
+
+    it = prefetch_iterator(src())
+    for x in it:
+        if x >= 3:
+            break
+    it.close()           # what GC does when the engine drops the iterator
+    assert released.wait(5.0), "producer thread still pinning the source"
+
+
 def test_prefetch_iterator_propagates_errors(monkeypatch):
     from rspnet_tpu.data.pipeline import prefetch_iterator
     monkeypatch.setenv("RSPNET_PREFETCH", "2")
