@@ -33,7 +33,7 @@ def main(argv=None):
     cfg = get_config(args)
     cfg.put("seed", args.seed if args.seed is not None else 0)
     save_config(args, cfg)
-    initialize_seed(args.seed, rank=0)
+    initialize_seed(args.seed)
 
     from rspnet_tpu.engines.retrieval import RetrievalEngine
     engine = RetrievalEngine(args, cfg)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..framework.metrics import accuracy, masked_accuracy
+from ..framework.metrics import accuracy
 
 
 class TrainState(NamedTuple):
@@ -25,8 +25,7 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def init_train_state(model, optimizer, rng, sample_shape,
-                     frozen_mask_fn: Optional[Callable] = None) -> TrainState:
+def init_train_state(model, optimizer, rng, sample_shape) -> TrainState:
     dummy = jnp.zeros(sample_shape, jnp.float32)
     variables = model.init({"params": rng}, dummy, train=False)
     params = variables["params"]

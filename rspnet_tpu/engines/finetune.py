@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +21,7 @@ from ..models import get_model_class
 from ..moco import MultiTaskWrapper
 from ..ops.augment import augment_batch, eval_preprocess, center_crop_params, \
     sample_train_params
-from ..parallel import (create_mesh, mesh_for_args,
+from ..parallel import (mesh_for_args,
                         replicate_to_mesh, shard_batch)
 from .classifier import (TrainState, init_train_state,
                          make_classifier_eval_step,
@@ -114,7 +113,8 @@ class FinetuneEngine:
         self.log_interval = cfg.get_int("log_interval", 10)
         self.best_acc1 = 0.0
         self.current_epoch = 0
-        self.rng = np.random.default_rng(cfg.get_int("seed", 0))
+        self.rng = np.random.default_rng(
+            cfg.get_int("seed", 0) + jax.process_index())  # per-host stream
         self.step_key = jax.random.PRNGKey(cfg.get_int("seed", 0) + 1)
 
         self.summary_writer = None
@@ -283,10 +283,9 @@ class FinetuneEngine:
                 self.current_epoch = epoch
                 train_meters = self.train_epoch(epoch)
                 val = self.validate_epoch(epoch)
-                if self.scheduler.__class__.__name__ == "PlateauLR":
-                    lr = self.scheduler.step(val["loss"])
-                else:
-                    lr = self.scheduler.step()
+                # every scheduler accepts (and non-plateau ones ignore)
+                # the metric, like pretrain's unconditional call
+                lr = self.scheduler.step(val["loss"])
                 self.state = self.state._replace(
                     opt_state=set_opt_lr(self.state.opt_state, lr))
 

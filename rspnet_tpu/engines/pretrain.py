@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +27,8 @@ from ..framework.environment import scale_learning_rate
 from ..framework.lr_schedule import build_optimizer, build_scheduler, set_opt_lr
 from ..moco import (MoCoState, build_moco_model, init_moco_state,
                     make_sharded_eval_step, make_sharded_train_step)
-from ..ops.augment import augment_batch, center_crop_params, sample_train_params
-from ..parallel import (create_mesh, fetch_scalar, mesh_for_args,
+from ..ops.augment import augment_batch, sample_train_params
+from ..parallel import (fetch_scalar, mesh_for_args,
                         replicate_to_mesh, shard_batch)
 from ..utils.moco import replace_moco_k_in_config
 
@@ -105,7 +104,8 @@ class PretrainEngine:
         self.log_interval = cfg.get_int("log_interval", 10)
         self.best_loss = float("inf")
         self.current_epoch = 1
-        self.rng = np.random.default_rng(cfg.get_int("seed", 0))
+        self.rng = np.random.default_rng(
+            cfg.get_int("seed", 0) + jax.process_index())  # per-host stream
         self.step_key = jax.random.PRNGKey(cfg.get_int("seed", 0) + 1)
 
         self.summary_writer = None
@@ -272,16 +272,20 @@ class PretrainEngine:
         batch = next(it)
         clip_q = shard_batch(self._augment_clip(batch["clips"][0]), self.mesh)
         clip_k = shard_batch(self._augment_clip(batch["clips"][1]), self.mesh)
-        # warmup/compile outside the trace
+        # warmup/compile outside the trace; the barrier must be a dependent
+        # VALUE FETCH — block_until_ready returns before remote execution
+        # on the tunneled chip (CLAUDE.md TIMING TRAP), which would close
+        # the trace before the steps run
+        from ..parallel import fetch_scalar
         self.step_key, sub = jax.random.split(self.step_key)
         self.state, m = self.train_step(self.state, clip_q, clip_k, sub)
-        jax.block_until_ready(m["loss"])
+        fetch_scalar(m["loss"])
         with jax.profiler.trace(trace_dir):
             for _ in range(n_steps):
                 self.step_key, sub = jax.random.split(self.step_key)
                 self.state, m = self.train_step(self.state, clip_q, clip_k,
                                                 sub)
-            jax.block_until_ready(m["loss"])
+            fetch_scalar(m["loss"])
         logger.info("Profiler trace written to %s", trace_dir)
         return trace_dir
 

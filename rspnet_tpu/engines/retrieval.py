@@ -11,7 +11,6 @@ import json
 import logging
 import time
 from pathlib import Path
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +19,7 @@ import numpy as np
 from ..config import ConfigTree
 from ..framework import load_state
 from ..ops.augment import eval_preprocess
-from ..parallel import (create_mesh, fetch_global, mesh_for_args,
+from ..parallel import (fetch_global, mesh_for_args,
                         replicate_to_mesh, shard_batch)
 from .classifier import init_train_state
 from .finetune import build_classifier_model
@@ -118,7 +117,24 @@ class RetrievalEngine:
         feats, labels = [], []
         t0 = time.perf_counter()
         mean, std = self.normalize
-        for i, batch in enumerate(loader):
+        it = iter(loader)
+        try:
+            self._extract_loop(it, loader, feats, labels, mean, std)
+        finally:
+            # a debug-mode early break must not leave the loader's
+            # per-epoch worker pool suspended (fd/thread leak class, see
+            # CLAUDE.md resource-leak findings)
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()
+        feats = np.concatenate(feats)
+        labels = np.concatenate(labels)
+        logger.info("%s features: %s in %.1fs", name, feats.shape,
+                    time.perf_counter() - t0)
+        return feats, labels
+
+    def _extract_loop(self, it, loader, feats, labels, mean, std):
+        for i, batch in enumerate(it):
             clip_u8 = batch["clips"][0]
             B, _, H, W, _ = clip_u8.shape
             if getattr(loader.cfg, "device_geometry", False):
@@ -154,11 +170,6 @@ class RetrievalEngine:
             labels.append(labels_g[m])
             if self.debug and i >= 2:
                 break
-        feats = np.concatenate(feats)
-        labels = np.concatenate(labels)
-        logger.info("%s features: %s in %.1fs", name, feats.shape,
-                    time.perf_counter() - t0)
-        return feats, labels
 
     def save_features(self, out_dir: Path, feats, labels, split: str):
         out_dir = Path(out_dir)

@@ -22,7 +22,6 @@ import numpy as np
 from ..config import ConfigTree
 from ..moco import build_moco_model, diff_speed_gather
 from ..ops.augment import _center_max_box, eval_preprocess
-from ..parallel import create_mesh
 from .transfer import load_pretrained_encoder
 
 logger = logging.getLogger(__name__)
@@ -79,7 +78,8 @@ class VisualizationEngine:
         self.args = args
         self.cfg = cfg
         self.debug = bool(getattr(args, "debug", False))
-        self.mesh = create_mesh()
+        # single-device by design: CAM rendering is a handful of batches
+        # under plain jit (axis_name=None), no mesh involved
 
         self.model, self.moco_cfg = build_moco_model(cfg, axis_name=None)
         if self.moco_cfg.fc_type != "linear":
@@ -153,7 +153,23 @@ class VisualizationEngine:
 
         n_saved = 0
         mean, std = tuple(_MEAN), tuple(_STD)
-        for bi, batch in enumerate(self.loader):
+        it = iter(self.loader)
+        try:
+            n_saved = self._visual_loop(it, max_batches, out_dir, compute,
+                                        mean, std)
+        finally:
+            # the max_batches/debug early breaks must not leave the
+            # loader's worker pool suspended (fd/thread leak class, see
+            # CLAUDE.md resource-leak findings)
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()
+        logger.info("Saved %d CAM strips to %s", n_saved, out_dir)
+        return n_saved
+
+    def _visual_loop(self, it, max_batches, out_dir, compute, mean, std):
+        n_saved = 0
+        for bi, batch in enumerate(it):
             if bi >= max_batches:
                 break
             # eval preprocessing at full loaded length, then dual-speed
@@ -197,7 +213,6 @@ class VisualizationEngine:
                     n_saved += 1
             if self.debug:
                 break
-        logger.info("Saved %d CAM strips to %s", n_saved, out_dir)
         return n_saved
 
     @staticmethod

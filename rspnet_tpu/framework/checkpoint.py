@@ -118,13 +118,21 @@ class CheckpointManager:
         self.milestone = milestone
 
     def save(self, state: Dict[str, Any], is_best: bool, epoch: int) -> None:
+        rank = 0
         try:
             import jax
-            if jax.process_index() != 0:
-                return  # rank-0-only writer (reference pretrain.py:238-260);
-                # state is replicated, so process 0's copy is the state
+            rank = jax.process_index()
         except ImportError:
             pass
+        # The device->host conversion runs on EVERY process: _to_numpy_tree
+        # issues a device-side jnp.concatenate over (replicated) global
+        # arrays, and multi-controller JAX cannot execute a computation
+        # entered by only one process. Only the file WRITE is rank-0-only
+        # (reference pretrain.py:238-260; state is replicated, so process
+        # 0's copy is the state).
+        state = _to_numpy_tree(state)
+        if rank != 0:
+            return
         checkpoint_path = self.experiment_dir / self.filename
         temp_path = self.experiment_dir / f".next.{self.filename}"
 

@@ -68,13 +68,19 @@ class MultiStepLR(LRScheduler):
 
 
 class PlateauLR(LRScheduler):
-    """ReduceLROnPlateau(min mode): decay when the metric stops improving."""
+    """ReduceLROnPlateau(min mode): decay when the metric stops improving.
+
+    Uses torch's default RELATIVE threshold (improvement counts only if
+    metric < best * (1 - threshold), threshold=1e-4,
+    threshold_mode='rel') — an absolute epsilon would treat 1e-8 noise
+    on a plateau as progress and never decay.
+    """
 
     def __init__(self, base_lr: float, patience: int = 10,
-                 factor: float = 0.1, eps: float = 1e-8):
+                 factor: float = 0.1, threshold: float = 1e-4):
         self.patience = patience
         self.factor = factor
-        self.eps = eps
+        self.threshold = threshold
         self.best = float("inf")
         self.bad_epochs = 0
         super().__init__(base_lr)
@@ -82,7 +88,7 @@ class PlateauLR(LRScheduler):
     def step(self, metric: Optional[float] = None) -> float:
         self.epoch += 1
         if metric is not None:
-            if metric < self.best - self.eps:
+            if metric < self.best * (1.0 - self.threshold):
                 self.best = metric
                 self.bad_epochs = 0
             else:
@@ -117,6 +123,33 @@ def build_scheduler(schedule: str, base_lr: float, *, num_epochs: int = 1,
     raise ValueError(f"Unknown schedule {schedule!r}")
 
 
+def _trace_with_dampening(decay: float, dampening: float):
+    """torch SGD momentum buffer with dampening: buf0 = g (undampened
+    first step), then buf = decay*buf + (1-dampening)*g."""
+    from typing import Any, NamedTuple
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    class DampTraceState(NamedTuple):
+        count: Any
+        trace: Any
+
+    def init(params):
+        return DampTraceState(
+            jnp.zeros([], jnp.int32),
+            jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        scale = jnp.where(state.count == 0, 1.0, 1.0 - dampening)
+        trace = jax.tree_util.tree_map(
+            lambda g, t: decay * t + scale * g, updates, state.trace)
+        return trace, DampTraceState(state.count + 1, trace)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(opt_cfg, lr: float):
     """ConfigTree optimizer.* -> optax transform with injectable lr.
 
@@ -129,14 +162,30 @@ def build_optimizer(opt_cfg, lr: float):
     opt_type = opt_cfg.get_string("type", "sgd")
     if opt_type == "sgd":
         wd = opt_cfg.get_float("weight_decay", 0.0)
+        momentum = opt_cfg.get_float("momentum", 0.9)
+        dampening = opt_cfg.get_float("dampening", 0.0)
+        nesterov = opt_cfg.get_bool("nesterov", False)
+        if dampening and nesterov:
+            raise ValueError(
+                "nesterov requires dampening=0 (torch.optim.SGD semantics)")
 
         @optax.inject_hyperparams
         def make(learning_rate):
+            if dampening:
+                momentum_tx = _trace_with_dampening(momentum, dampening)
+            else:
+                # keep optax.sgd on the default path so existing
+                # checkpointed optimizer-state layouts stay valid
+                return optax.chain(
+                    optax.add_decayed_weights(wd) if wd
+                    else optax.identity(),
+                    optax.sgd(learning_rate, momentum=momentum,
+                              nesterov=nesterov),
+                )
             return optax.chain(
                 optax.add_decayed_weights(wd) if wd else optax.identity(),
-                optax.sgd(learning_rate,
-                          momentum=opt_cfg.get_float("momentum", 0.9),
-                          nesterov=opt_cfg.get_bool("nesterov", False)),
+                momentum_tx,
+                optax.scale_by_learning_rate(learning_rate),
             )
 
         return make(learning_rate=lr)
