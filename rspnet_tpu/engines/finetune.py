@@ -33,10 +33,13 @@ logger = logging.getLogger(__name__)
 
 def build_classifier_model(cfg: ConfigTree, dtype=None, axis_name="data"):
     """model_type 1stream | multitask (reference: finetune.py:163-169)."""
-    arch = cfg.get_string("model.arch")
+    model_cfg = cfg.get_config("model").as_plain_dict()
+    arch = model_cfg.pop("arch")
     num_classes = cfg.get_int("dataset.num_classes")
     model_type = cfg.get_string("model_type", "1stream")
-    factory = get_model_class(arch)
+    # pass model.* keys through like the reference's
+    # get_model_class(**cfg.get_config('model'))
+    factory = get_model_class(arch, **model_cfg)
     if model_type == "1stream":
         return factory(num_classes=num_classes, dtype=dtype,
                        axis_name=axis_name), model_type

@@ -17,8 +17,13 @@ def build_moco_model(cfg, dtype=None, axis_name="data"):
     (reference: ModelFactory.build_moco_diffloss, moco/__init__.py:19-55)."""
     from ..models import get_model_class
 
-    arch = cfg.get_string("model.arch")
-    encoder_factory = get_model_class(arch)
+    # pass every model.* key through, like the reference's
+    # get_model_class(**cfg.get_config('model')) (models/__init__.py:16)
+    # — dropping them silently built e.g. a resnet50-based TSM for the
+    # tsm-r18 config (base_model never arrived)
+    model_cfg = cfg.get_config("model").as_plain_dict()
+    arch = model_cfg.pop("arch")
+    encoder_factory = get_model_class(arch, **model_cfg)
     if not cfg.get_list("moco.diff_speed"):
         # fail at build time with a clear message — the reference's builder
         # asserts the same (builder:334; its random.choice([]) would crash)

@@ -39,7 +39,11 @@ _REGISTRY = {
 }
 
 def available_archs():
-    return sorted(_REGISTRY)
+    """Every arch get_model_class accepts: the registry plus the
+    dispatch-handled families (sub-registry archs listed by their entry
+    names; SLOWFAST_*/SLOW_*/C2D*/I3D* variant names also resolve)."""
+    return sorted(_REGISTRY) + ["mfnet", "slowfast", "torchvision-resnet18",
+                                "tsm"]
 
 
 def get_model_class(arch: str, **model_cfg) -> Callable[..., nn.Module]:

@@ -112,6 +112,8 @@ class ConvBN(nn.Module):
     axis_name: Optional[str] = None
     kernel_init: Any = nn.initializers.variance_scaling(
         2.0, "fan_out", "normal")  # kaiming_normal(fan_out), models/resnet.py:160
+    bn_scale_init: Any = nn.initializers.ones  # zeros for residual-final
+    # BN (reference RESNET.ZERO_INIT_FINAL_BN: blocks start as identity)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -131,6 +133,7 @@ class ConvBN(nn.Module):
                 momentum=self.bn_momentum,
                 epsilon=self.bn_eps,
                 dtype=self.dtype,
+                scale_init=self.bn_scale_init,
                 name="bn",
             )(x, train)
         elif self.use_bn:
@@ -140,6 +143,7 @@ class ConvBN(nn.Module):
                 epsilon=self.bn_eps,
                 dtype=self.dtype,
                 axis_name=self.axis_name if train else None,
+                scale_init=self.bn_scale_init,
                 name="bn",
             )(x)
         if self.activation:

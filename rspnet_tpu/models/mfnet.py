@@ -13,6 +13,11 @@ import flax.linen as nn
 
 from .common import _pad3, _triple, global_avg_pool, max_pool3d
 
+# the reference xavier-inits the whole net (mfnet_3d.py:151
+# initializer.xavier); flax's default is lecun_normal, so every conv
+# sets this explicitly
+_XAVIER = nn.initializers.xavier_uniform()
+
 
 class BnAcConv(nn.Module):
     """BN -> ReLU -> Conv3d (pre-activation, reference :16-30)."""
@@ -35,6 +40,7 @@ class BnAcConv(nn.Module):
                     padding=_pad3(self.pad) if isinstance(self.pad, int)
                     else [(p, p) for p in self.pad],
                     feature_group_count=self.groups, use_bias=False,
+                    kernel_init=_XAVIER,
                     dtype=self.dtype, name="conv")(x)
         return x
 
@@ -95,6 +101,7 @@ class MFNet3D(nn.Module):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
         self.stem = nn.Conv(16, (3, 5, 5), strides=(1, 2, 2),
                             padding=[(1, 1), (2, 2), (2, 2)], use_bias=False,
+                            kernel_init=_XAVIER,
                             dtype=self.dtype, name="stem_conv")
         self.stem_bn = nn.BatchNorm(momentum=0.9, dtype=self.dtype,
                                     axis_name=self.axis_name, name="stem_bn")
@@ -116,7 +123,8 @@ class MFNet3D(nn.Module):
         self.tail_bn = nn.BatchNorm(momentum=0.9, dtype=self.dtype,
                                     axis_name=self.axis_name, name="tail_bn")
         if self.with_classifier:
-            self.fc = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")
+            self.fc = nn.Dense(self.num_classes, kernel_init=_XAVIER,
+                               dtype=self.dtype, name="fc")
 
     def features(self, x, train: bool = False):
         x = self.stem(x)

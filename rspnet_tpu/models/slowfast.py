@@ -41,6 +41,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from .common import ConvBN, global_avg_pool, max_pool3d
 
@@ -285,8 +286,12 @@ class Bottleneck(nn.Module):
                             (tk // 2, 0, 0), **kw)
         self.conv2 = ConvBN(self.planes, (1, 3, 3),
                             (1, self.stride, self.stride), (0, 1, 1), **kw)
+        # RESNET.ZERO_INIT_FINAL_BN (every reference Kinetics YAML sets
+        # it): zero gamma on the residual branch's last BN so blocks
+        # start as identity
         self.conv3 = ConvBN(self.out_planes, (1, 1, 1), 1, 0,
-                            activation=False, **kw)
+                            activation=False,
+                            bn_scale_init=nn.initializers.zeros, **kw)
         self.downsample = (
             ConvBN(self.out_planes, (1, 1, 1),
                    (1, self.stride, self.stride), 0, activation=False, **kw)
@@ -453,7 +458,13 @@ class SlowFast(nn.Module):
         if not sp.two_pathway:
             out, _, _ = self.slow.stage_io(x, train)
             return out, None
-        slow_in = x[:, ::sp.alpha]
+        # reference subsamples the slow pathway with linspace indices
+        # (video_model_builder.py:383-396: torch.linspace(0, T-1,
+        # T//alpha).long()), NOT a plain ::alpha stride — for T=32,
+        # alpha=8 that is frames [0, 10, 20, 31] vs [0, 8, 16, 24]
+        t = x.shape[1]
+        idx = np.linspace(0, t - 1, t // sp.alpha).astype(np.int64)
+        slow_in = x[:, idx]
         fast_out, fast_stem, fast_feats = self.fast.stage_io(x, train)
         fuse = [self.fuses[0](fast_stem, train),
                 self.fuses[1](fast_feats[0], train),
@@ -463,10 +474,20 @@ class SlowFast(nn.Module):
         return slow_out, fast_out
 
     def features(self, x, train: bool = False):
-        """x: [B, T, H, W, 3] (fast frame rate). Returns the slow-pathway
-        final map (fast features already fused in)."""
-        slow_out, _ = self._pathways(x, train)
-        return slow_out
+        """x: [B, T, H, W, 3] (fast frame rate). Returns one fused map
+        whose global-average-pool equals the reference head's input: the
+        slow map concat the fast map channel-wise, with the fast map's T
+        axis averaged down to the slow grid (T_fast = alpha*T_slow, so
+        reshape-mean is exact and GAP(concat) == concat of the per-
+        pathway pools the reference head computes). Matches feature_dim
+        (2048 + 256 for two-pathway specs)."""
+        slow_out, fast_out = self._pathways(x, train)
+        if fast_out is None:
+            return slow_out
+        b, tf, h, w, c = fast_out.shape
+        ts = slow_out.shape[1]
+        fast_s = fast_out.reshape(b, ts, tf // ts, h, w, c).mean(axis=2)
+        return jnp.concatenate([slow_out, fast_s], axis=-1)
 
     def __call__(self, x, train: bool = False):
         slow_out, fast_out = self._pathways(x, train)

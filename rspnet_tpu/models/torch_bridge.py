@@ -190,8 +190,28 @@ def _mfnet_mapping() -> list:
     return m
 
 
+def _torchvision_r3d18_mapping() -> list:
+    """torchvision.models.video.r3d_18 names: stem.{0,1}, layer{1..4}.
+    {0,1}.conv{1,2}.{0,1}, layer{2..4}.0.downsample.{0,1}, fc — mapped
+    onto models/video_resnet.py (layer{L}_{i}/conv{1,2}, /downsample)."""
+    m = _convbn("stem.0", "stem.1", "stem")
+    for s, blocks in enumerate((2, 2, 2, 2)):
+        for i in range(blocks):
+            t = f"layer{s + 1}.{i}"
+            f = f"layer{s + 1}_{i}"
+            m += _convbn(f"{t}.conv1.0", f"{t}.conv1.1", f"{f}/conv1")
+            m += _convbn(f"{t}.conv2.0", f"{t}.conv2.1", f"{f}/conv2")
+            if s > 0 and i == 0:
+                m += _convbn(f"{t}.downsample.0", f"{t}.downsample.1",
+                             f"{f}/downsample")
+    m += [("fc.weight", ("params", "fc/kernel", _dense_w)),
+          ("fc.bias", ("params", "fc/bias", None))]
+    return m
+
+
 KEY_MAPPERS = {
     "c3d": _c3d_mapping,
+    "torchvision-resnet18": _torchvision_r3d18_mapping,
     "mfnet": _mfnet_mapping,
     "resnet10": lambda: _resnet_mapping((1, 1, 1, 1)),
     "resnet18": lambda: _resnet_mapping((2, 2, 2, 2)),
@@ -297,7 +317,14 @@ def inflate_2d_state_dict(variables: dict, state_dict_2d: Dict[str, np.ndarray],
             continue
         src = np.asarray(state_dict_2d[torch_key])
         tree = params if coll == "params" else batch_stats
-        dst = _get_path(tree, path)
+        try:
+            dst = _get_path(tree, path)
+        except KeyError:
+            # destination absent from this model variant (e.g. no 'fc'
+            # subtree with with_classifier=False) — log-and-skip like the
+            # reference initializer (initializer.py:105-140)
+            skipped.append(torch_key)
+            continue
         if conv is _conv_w and src.ndim == 4:
             kt, kh, kw, ci, co = dst.shape
             if src.shape != (co, ci, kh, kw):

@@ -83,6 +83,9 @@ def r3d_18(pretrain: bool = False, **kw):
     import logging
     if pretrain:
         logging.getLogger(__name__).warning(
-            "torchvision-resnet18 pretrained weights are not bundled; "
-            "load them via --load-model / torch_bridge instead")
+            "torchvision-resnet18 pretrained weights are not bundled (no "
+            "download path); obtain the torchvision r3d_18 state dict and "
+            "load it with torch_bridge.torch_to_flax(sd, "
+            "'torchvision-resnet18') — the key mapping ships in "
+            "KEY_MAPPERS — or pass a converted checkpoint via --mc")
     return VideoResNet(layers=(2, 2, 2, 2), **kw)
