@@ -101,24 +101,30 @@ def _lex(src: str, filename: str) -> List[Token]:
                 raise JsonnetError("bad text block", filename, line)
             j += 1
             lines = []
+            term_pos = -1
             while j < n:
                 k = src.find("\n", j)
                 if k < 0:
                     k = n
                 seg = src[j:k]
-                if seg.strip() == "|||":
+                stripped = seg.lstrip()
+                if stripped.startswith("|||"):
+                    # terminator may be followed by more tokens on the
+                    # same line (the common `|||,` form): resume lexing
+                    # right after the closing bars
+                    term_pos = j + (len(seg) - len(stripped)) + 3
                     break
                 lines.append(seg)
                 j = k + 1
-            else:
+            if term_pos < 0:
                 raise JsonnetError("unterminated text block", filename, line)
             # strip common leading whitespace
             indents = [len(s) - len(s.lstrip()) for s in lines if s.strip()]
             pad = min(indents) if indents else 0
             text = "".join(s[pad:] + "\n" for s in lines)
             toks.append(Token("string", text, line))
-            line += src.count("\n", i, j) + 1
-            i = src.find("\n", j) + 1 if src.find("\n", j) >= 0 else n
+            line += src.count("\n", i, term_pos)
+            i = term_pos
             continue
         if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
             j = i
@@ -129,7 +135,11 @@ def _lex(src: str, filename: str) -> List[Token]:
             try:
                 val = int(txt)
             except ValueError:
-                val = float(txt)
+                try:
+                    val = float(txt)
+                except ValueError:
+                    raise JsonnetError(f"invalid number {txt!r}", filename,
+                                       line)
             toks.append(Token("number", val, line))
             i = j
             continue
@@ -359,6 +369,14 @@ class _Parser:
     def peek(self, offset: int = 0) -> Token:
         return self.toks[min(self.pos + offset, len(self.toks) - 1)]
 
+    def _split_double_colon(self) -> None:
+        """Inside a slice, a '::' token (lexed greedily for hidden
+        fields) is two ':' delimiters — e.g. arr[1::2]."""
+        t = self.peek()
+        if t.kind == "op" and t.value == "::":
+            self.toks[self.pos] = Token("op", ":", t.line)
+            self.toks.insert(self.pos + 1, Token("op", ":", t.line))
+
     def next(self) -> Token:
         t = self.toks[self.pos]
         self.pos += 1
@@ -435,10 +453,13 @@ class _Parser:
             elif t.kind == "op" and t.value == "[":
                 self.next()
                 lo = hi = step = None
+                self._split_double_colon()
                 if not self.at_op(":"):
                     lo = self.expr()
+                self._split_double_colon()
                 if self.at_op(":"):
                     self.next()
+                    self._split_double_colon()
                     if not self.at_op("]") and not self.at_op(":"):
                         hi = self.expr()
                     if self.at_op(":"):
@@ -705,7 +726,11 @@ class _Env:
 class JObject:
     """A composed jsonnet object: a chain of layers (leftmost = base)."""
 
-    def __init__(self, layers: List[Tuple[ObjectE, _Env]], interp: "_Interp"):
+    def __init__(self, layers: List[Tuple[ObjectE, _Env, "_Interp"]],
+                 interp: "_Interp"):
+        # each layer carries its DEFINING interpreter so field bodies
+        # (and their relative imports) evaluate against the file that
+        # declared them, even after `+` composition across files
         self.layers = layers          # ordered base -> derived
         self.interp = interp
         self._cache: Dict[str, Any] = {}
@@ -716,9 +741,9 @@ class JObject:
     def _build_index(self):
         # Resolve field names per layer (names can be computed expressions).
         vis_map: Dict[str, str] = {}
-        for li, (node, env) in enumerate(self.layers):
+        for li, (node, env, interp) in enumerate(self.layers):
             for f in node.fields:
-                name = self.interp.field_name(f, env)
+                name = interp.field_name(f, env)
                 if name is None:
                     continue
                 # visibility inheritance: ':' keeps prior visibility if the
@@ -736,9 +761,9 @@ class JObject:
     def field_names(self, include_hidden: bool = False) -> List[str]:
         names = []
         seen = set()
-        for li, (node, env) in enumerate(self.layers):
+        for li, (node, env, interp) in enumerate(self.layers):
             for f in node.fields:
-                name = self.interp.field_name(f, env)
+                name = interp.field_name(f, env)
                 if name is None or name in seen:
                     continue
                 seen.add(name)
@@ -754,21 +779,21 @@ class JObject:
     def _field_def_below(self, name: str, layer_idx: int):
         """Find the definition of `name` in layers strictly below layer_idx."""
         for li in range(layer_idx - 1, -1, -1):
-            node, env = self.layers[li]
+            node, env, interp = self.layers[li]
             for f in node.fields:
-                if self.interp.field_name(f, env) == name:
+                if interp.field_name(f, env) == name:
                     return li, f
         return None
 
     def _eval_field_at(self, name: str, layer_idx: int, f: ObjField) -> Any:
-        node, env = self.layers[layer_idx]
-        fenv = self.interp.make_object_env(self, layer_idx, node, env)
-        val_thunk = lambda: self.interp.eval(f.body, fenv)
+        node, env, interp = self.layers[layer_idx]
+        fenv = interp.make_object_env(self, layer_idx, node, env)
+        val_thunk = lambda: interp.eval(f.body, fenv)
         if f.plus:
             below = self._field_def_below(name, layer_idx)
             if below is not None:
                 base_val = self._eval_field_at(name, below[0], below[1])
-                return self.interp.binop_plus(base_val, val_thunk(), f.body.line)
+                return interp.binop_plus(base_val, val_thunk(), f.body.line)
         return val_thunk()
 
     def get(self, name: str) -> Any:
@@ -794,13 +819,13 @@ class JObject:
         return self._field_def_below(name, above_layer) is not None
 
     def run_asserts(self):
-        for li, (node, env) in enumerate(self.layers):
+        for li, (node, env, interp) in enumerate(self.layers):
             for cond, msg in node.asserts:
-                fenv = self.interp.make_object_env(self, li, node, env)
-                if not _truthy(self.interp.eval(cond, fenv)):
+                fenv = interp.make_object_env(self, li, node, env)
+                if not _truthy(interp.eval(cond, fenv)):
                     message = "object assertion failed"
                     if msg is not None:
-                        message = _to_display(self.interp.eval(msg, fenv))
+                        message = _to_display(interp.eval(msg, fenv))
                     raise JsonnetError(str(message))
 
 
@@ -964,7 +989,7 @@ class _Interp:
         return out
 
     def _eval_ObjectE(self, n: ObjectE, env: _Env):
-        obj = JObject([(n, env)], self)
+        obj = JObject([(n, env, self)], self)
         return obj
 
     def _eval_LocalE(self, n: LocalE, env: _Env):
@@ -1096,13 +1121,20 @@ class _Interp:
         key = (base_dir, n.path, n.raw)
         if key in self._import_cache:
             return self._import_cache[key]
-        if self.import_callback is not None:
-            full_path, content = self.import_callback(
-                base_dir + os.sep if base_dir else "", n.path)
-        else:
-            full_path = n.path if os.path.isabs(n.path) else os.path.join(base_dir, n.path)
-            with open(full_path) as f:
-                content = f.read()
+        try:
+            if self.import_callback is not None:
+                full_path, content = self.import_callback(
+                    base_dir + os.sep if base_dir else "", n.path)
+            else:
+                full_path = (n.path if os.path.isabs(n.path)
+                             else os.path.join(base_dir, n.path))
+                with open(full_path) as f:
+                    content = f.read()
+        except OSError as e:
+            # keep the documented error contract: callers catch
+            # JsonnetError and want jsonnet file/line context
+            raise JsonnetError(f"couldn't open import {n.path!r}: {e}",
+                               self.filename, n.line)
         if n.raw:
             self._import_cache[key] = content
             return content
@@ -1147,6 +1179,13 @@ def _equals(a, b, interp: _Interp) -> bool:
         if not (isinstance(a, JObject) and isinstance(b, JObject)):
             return False
         return interp.manifest(a) == interp.manifest(b)
+    if isinstance(a, list) or isinstance(b, list):
+        # recurse: list equality must be deep for nested JObjects
+        # (plain `a == b` compares JObject elements by identity)
+        if not (isinstance(a, list) and isinstance(b, list)):
+            return False
+        return (len(a) == len(b)
+                and all(_equals(x, y, interp) for x, y in zip(a, b)))
     if isinstance(a, bool) != isinstance(b, bool):
         return False
     return a == b

@@ -10,6 +10,7 @@ from .logging import TqdmHandler, set_logging_basic_config
 from .meters import AverageMeter, MeterGroup
 from .metrics import accuracy, binary_accuracy, masked_accuracy
 from .reproduction import initialize_seed
+from .bootstrap import bootstrap
 
 __all__ = [
     "Args", "BaseArgs", "get_timestamp",
@@ -19,4 +20,5 @@ __all__ = [
     "AverageMeter", "MeterGroup",
     "accuracy", "binary_accuracy", "masked_accuracy",
     "initialize_seed",
+    "bootstrap",
 ]

@@ -33,6 +33,9 @@ struct Reader {
   AVCodecContext* codec = nullptr;
   SwsContext* sws = nullptr;
   AVFrame* frame = nullptr;
+  AVFrame* last_frame = nullptr;  // refcounted clone of the last decoded
+                                  // frame: EOF-pad source when no decoded
+                                  // frame matched a request in this call
   AVPacket* pkt = nullptr;
   // aligned intermediate RGB buffer: sws_scale's SIMD stores can write past
   // unaligned row ends (width*3 rarely is a 16/32-byte multiple), so it
@@ -47,6 +50,8 @@ struct Reader {
   AVRational time_base{1, 25};
   int64_t start_time = 0;
   int64_t next_index = 0;   // index of the next frame decode will produce
+  bool drained = false;     // demuxer hit EOF and the codec was flushed:
+                            // the NEXT get_batch must seek before reading
   char err[256] = {0};
 };
 
@@ -139,6 +144,7 @@ void* vr_open(const char* path) {
   }
 
   r->frame = av_frame_alloc();
+  r->last_frame = av_frame_alloc();
   r->pkt = av_packet_alloc();
   r->next_index = 0;
   return r;
@@ -146,18 +152,22 @@ void* vr_open(const char* path) {
 
 const char* vr_error(void* h) {
   Reader* r = (Reader*)h;
+  if (!r) return "reader is closed";
   return r->err[0] ? r->err : nullptr;
 }
 
-long vr_num_frames(void* h) { return (long)((Reader*)h)->num_frames; }
-double vr_fps(void* h) { return ((Reader*)h)->fps; }
-int vr_width(void* h) { return ((Reader*)h)->width; }
-int vr_height(void* h) { return ((Reader*)h)->height; }
+// NULL-handle guards: a use-after-close from Python must raise, not
+// segfault the training process (vr_close already guards).
+long vr_num_frames(void* h) { return h ? (long)((Reader*)h)->num_frames : -1; }
+double vr_fps(void* h) { return h ? ((Reader*)h)->fps : 0.0; }
+int vr_width(void* h) { return h ? ((Reader*)h)->width : 0; }
+int vr_height(void* h) { return h ? ((Reader*)h)->height : 0; }
 
 // Decode frames at `indices` (any order) into out [n, H, W, 3] RGB24.
 // Returns 0 on success.
 int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
   Reader* r = (Reader*)h;
+  if (!r) return -1;
   if (!r->codec) {
     set_err(r, "reader not open");
     return -1;
@@ -213,14 +223,20 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
   }
 
   int64_t first = want.front().first;
-  // Seek backward to a keyframe if the window is behind us or far ahead.
-  if (first < r->next_index || first > r->next_index + 256) {
+  // Seek backward to a keyframe if the window is behind us or far ahead —
+  // or if a previous call drained the demuxer+codec at EOF (metadata can
+  // overestimate num_frames, so a request at/past real EOF pads and
+  // leaves both at end; without a seek the next call would read EOF
+  // immediately, send a second flush packet, and fail with "EOF before
+  // any requested frame" instead of padding).
+  if (r->drained || first < r->next_index || first > r->next_index + 256) {
     int64_t ts =
         r->start_time +
         (int64_t)((double)first / r->fps / av_q2d(r->time_base));
     if (av_seek_frame(r->fmt, r->stream_idx, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
       avcodec_flush_buffers(r->codec);
       r->next_index = -1;  // unknown until first decoded pts
+      r->drained = false;
     }
   }
 
@@ -236,6 +252,7 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
         // EOF: flush decoder
         avcodec_send_packet(r->codec, nullptr);
         flushing = true;
+        r->drained = true;
         continue;
       }
       if (r->pkt->stream_index != r->stream_idx) {
@@ -263,6 +280,23 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
           }
           return 0;
         }
+        if (r->last_frame->data[0]) {
+          // every request was past real EOF (metadata overestimated
+          // num_frames): pad everything from the last decoded frame
+          sws_scale(r->sws, r->last_frame->data, r->last_frame->linesize,
+                    0, r->height, r->rgb_data, r->rgb_linesize);
+          uint8_t* dst0 = out + (size_t)want[0].second * frame_bytes;
+          for (int y = 0; y < r->height; y++) {
+            memcpy(dst0 + (size_t)y * r->width * 3,
+                   r->rgb_data[0] + (size_t)y * r->rgb_linesize[0],
+                   (size_t)r->width * 3);
+          }
+          for (cursor = 1; cursor < want.size(); cursor++) {
+            memcpy(out + (size_t)want[cursor].second * frame_bytes, dst0,
+                   frame_bytes);
+          }
+          return 0;
+        }
         set_err(r, "EOF before any requested frame");
         return -1;
       }
@@ -270,6 +304,8 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
         set_err(r, "receive_frame", rr);
         return -1;
       }
+      av_frame_unref(r->last_frame);
+      av_frame_ref(r->last_frame, r->frame);  // refcount, no pixel copy
 
       int64_t idx;
       int64_t pts = r->frame->best_effort_timestamp;
@@ -309,6 +345,7 @@ void vr_close(void* h) {
   if (r->rgb_data[0]) av_freep(&r->rgb_data[0]);
   if (r->sws) sws_freeContext(r->sws);
   if (r->frame) av_frame_free(&r->frame);
+  if (r->last_frame) av_frame_free(&r->last_frame);
   if (r->pkt) av_packet_free(&r->pkt);
   if (r->codec) avcodec_free_context(&r->codec);
   if (r->fmt) avformat_close_input(&r->fmt);

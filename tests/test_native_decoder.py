@@ -70,6 +70,31 @@ def test_missing_file_raises(native):
         native.RspVideoReader("/nonexistent/video.mp4")
 
 
+def test_repeated_past_eof_batches_pad(native, test_video):
+    """Metadata can overestimate num_frames; a request at/past real EOF
+    pads with the last decoded frame AND must leave the reader usable —
+    a drained demuxer+codec previously made the NEXT past-EOF batch fail
+    with 'EOF before any requested frame' instead of padding."""
+    r = native.RspVideoReader(test_video)
+    b1 = r.get_batch([58, 59, 60, 65])      # crosses EOF: pads 60/65
+    assert abs(float(b1[1, :, :, 1].mean()) - 236) < 10
+    np.testing.assert_array_equal(b1[2], b1[3])
+    b2 = r.get_batch([62, 70])              # entirely past EOF, drained
+    np.testing.assert_array_equal(b2[0], b2[1])
+    assert abs(float(b2[0, :, :, 1].mean()) - 236) < 10
+    b3 = r.get_batch([0, 1])                # and normal reads still work
+    assert abs(float(b3[0, :, :, 1].mean()) - 0) < 10
+    r.close()
+
+
+def test_use_after_close_raises(native, test_video):
+    r = native.RspVideoReader(test_video)
+    r.get_batch([0])
+    r.close()
+    with pytest.raises(Exception):
+        r.get_batch([0])
+
+
 @pytest.fixture(scope="module")
 def odd_width_videos(tmp_path_factory):
     """Width 170 -> RGB24 row of 510 bytes, NOT a SIMD-register multiple.
