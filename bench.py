@@ -19,10 +19,14 @@ pretrain.py:154):
 2. **e2e**: the REAL input pipeline — decode workers (synthetic backend)
    -> fused on-device augment (device-geometry: crop+resize on chip,
    ops/augment.py) -> H2D -> train step. Reported as
-   `e2e_clips_per_sec_per_chip` plus its fraction of the input bound:
-   `e2e_frac_of_input_bound` close to 1.0 means the pipeline runs at this
-   environment's H2D speed of light and the remaining gap to the step
-   rate is transfer bandwidth, not framework overhead.
+   `e2e_clips_per_sec_per_chip` plus
+   `e2e_vs_sustained_input_bound`: the ratio against the SUSTAINED-regime
+   H2D bound measured in phase 3. NOTE the regimes differ by design: the
+   e2e phase runs inside the tunnel's ~4.5 GB burst window (measuring
+   pipeline software, not the relay), while phase 3's bandwidth is
+   dominated by the post-burst flow-controlled regime a long training
+   run would live in — so this ratio can exceed 1.0 and is context, not
+   a utilization fraction.
 3. **h2d probe**: true aggregate host->device bandwidth (K puts ordered
    through a device-side reduction of the last buffer, fetched), plus the
    relay's local-buffering enqueue burst rate for context. A real TPU
@@ -84,7 +88,12 @@ def main():
     subset = packed_frame_subset(T, (2,))
     P = len(subset)
 
-    cfg = MoCoConfig(dim=128, k=16384 - 16384 % b_global, m=0.999, t=0.07,
+    from rspnet_tpu.utils.moco import trim_moco_k
+    k = trim_moco_k(16384, b_global)
+    if k <= 0:
+        raise SystemExit(f"global batch {b_global} exceeds the 16384-slot "
+                         f"queue; lower RSPNET_BENCH_BATCH")
+    cfg = MoCoConfig(dim=128, k=k, m=0.999, t=0.07,
                      diff_speed=(2,), packed_frames=True, t_load=T)
     model = MultiTaskWrapper(
         encoder_factory=get_model_class("s3dg"),
@@ -174,7 +183,8 @@ def main():
         out_size=S, crop_area=(0.4, 1.0), num_clips=2,
         batch_size=b_global, train=True,
         num_workers=int(os.environ.get("RSPNET_BENCH_WORKERS", "2")),
-        use_processes=bool(os.environ.get("RSPNET_BENCH_PROCS")),
+        use_processes=os.environ.get("RSPNET_BENCH_PROCS", "")
+        not in ("", "0", "false"),
         device_geometry=True, frame_subset=subset, seed=0)
     catalog = Synthetic(num_samples=n_batches * b_global, num_classes=10,
                         num_frames=64, height=DH, width=DW)
@@ -236,8 +246,12 @@ def main():
     enqueue_burst = max(np.mean(rates[:8]), np.mean(rates[:4]))
     result["h2d_true_mb_per_sec"] = round(float(true_mb), 1)
     result["h2d_enqueue_burst_mb_per_sec"] = round(float(enqueue_burst), 1)
-    result["e2e_input_bound_clips_per_sec"] = round(true_mb / sample_mb, 1)
-    result["e2e_frac_of_input_bound"] = round(
+    # sustained-regime bound: what a LONG run is limited to once the
+    # burst window is spent. The e2e phase deliberately ran INSIDE the
+    # window, so the ratio can exceed 1.0 — see the module docstring.
+    result["e2e_input_bound_sustained_clips_per_sec"] = round(
+        true_mb / sample_mb, 1)
+    result["e2e_vs_sustained_input_bound"] = round(
         e2e_per_chip * n_chips / (true_mb / sample_mb), 3)
     print(json.dumps(result))
 

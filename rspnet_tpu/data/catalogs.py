@@ -98,13 +98,18 @@ class HMDB51:
                         selected.add(parts[0])
 
         self.samples: List[Sample] = []
+        exts = tuple(e.lower() for e in extensions)
         for class_name in classes:
             class_dir = os.path.join(video_dir, class_name)
-            for fname in sorted(os.listdir(class_dir)):
-                if fname in selected and fname.endswith(tuple(extensions)):
-                    self.samples.append(Sample(
-                        os.path.join(class_dir, fname),
-                        self.class_to_index[class_name]))
+            # match torchvision make_dataset (the reference's walker):
+            # case-insensitive extension, recursive walk of the class dir
+            for dirpath, _dirnames, fnames in sorted(os.walk(class_dir)):
+                for fname in sorted(fnames):
+                    if (fname in selected
+                            and fname.lower().endswith(exts)):
+                        self.samples.append(Sample(
+                            os.path.join(dirpath, fname),
+                            self.class_to_index[class_name]))
 
     def __len__(self):
         return len(self.samples)
@@ -219,7 +224,9 @@ def build_catalog(cfg, split: str):
     if name == "hmdb51":
         return HMDB51(root, cfg.get_string("dataset.annotation_path"),
                       fold=cfg.get_int("dataset.fold", 1), split=split)
-    if name in ("kinetics400", "kinetics100"):
+    if name.startswith("kinetics"):
+        # the reference matches any kinetics* variant
+        # (datasets/classification/__init__.py:92)
         return Kinetics(root, split=split,
                         blacklist=cfg.get_list("dataset.blacklist", []))
     if name == "smth_smth":

@@ -55,6 +55,10 @@ def resample_index(frame_indices: np.ndarray,
     """Retarget fps by subsampling indices (torchvision-style step logic)."""
     if original_fps is None or new_fps is None:
         return frame_indices
+    if original_fps <= 0:
+        # broken containers report fps=0; resampling is meaningless and
+        # [::0] would crash the loader worker with an unattributable error
+        return frame_indices
     step = float(original_fps) / float(new_fps)
     if step.is_integer():
         return frame_indices[::int(step)]
