@@ -44,7 +44,16 @@ pretrain.py:154):
   driver target is vs_baseline >= 4.
 
 Env knobs: RSPNET_BENCH_SKIP_E2E=1 (phase 1 only), RSPNET_BENCH_WORKERS=n,
-RSPNET_BENCH_PROCS=1 (process decode workers).
+RSPNET_BENCH_PROCS=1 (process decode workers), RSPNET_BENCH_RETRIES=n
+(backend-init attempts, default 3), RSPNET_BENCH_TIMEOUT=sec (whole-run
+alarm, default 3300 — a wedged tunnel fetch otherwise hangs forever and
+the driver records no JSON at all).
+
+FAILURE CONTRACT: this script ALWAYS prints exactly one JSON line. If the
+TPU backend cannot initialize (the 2026-08-17 tunnel wedge: UNAVAILABLE
+from the axon plugin) or the run wedges mid-flight, the line carries
+"value": null plus an "error" field instead of dying with a traceback
+(BENCH_r02.json was rc=1/parsed=null for exactly this reason).
 """
 from __future__ import annotations
 
@@ -53,6 +62,36 @@ import os
 import time
 
 A100_BASELINE_CLIPS_PER_SEC = 85.0
+METRIC = "s3dg_moco_pretrain_clips_per_sec_per_chip"
+
+
+def _emit_error(error: str, detail: str = "") -> None:
+    line = {"metric": METRIC, "value": None, "unit": "clips/sec/chip",
+            "vs_baseline": None, "error": error}
+    if detail:
+        line["error_detail"] = detail[:400]
+    print(json.dumps(line))
+
+
+def _acquire_backend(retries: int, wait_s: float = 30.0) -> int:
+    """Init the TPU backend with bounded retries; returns device count.
+
+    The axon plugin raises RuntimeError('Unable to initialize backend
+    ...UNAVAILABLE...') when the tunnel is down; a transient blip heals
+    within a retry or two, a terminal wedge does not — either way the
+    caller emits one parseable JSON line instead of a traceback.
+    """
+    import jax
+    last = None
+    for attempt in range(retries):
+        try:
+            return jax.device_count()
+        except RuntimeError as e:  # backend init failure surfaces here
+            last = e
+            if attempt + 1 < retries:
+                time.sleep(wait_s)
+    raise RuntimeError(f"tpu-backend-unavailable after {retries} attempts: "
+                       f"{last}") from last
 
 
 def main():
@@ -72,7 +111,7 @@ def main():
     from rspnet_tpu.parallel import (create_mesh, fetch_scalar as fetch,
                                      replicate_to_mesh, shard_batch)
 
-    n_chips = jax.device_count()
+    n_chips = _acquire_backend(int(os.environ.get("RSPNET_BENCH_RETRIES", "3")))
     mesh = create_mesh()
 
     # fetch-synced sweep (same-session A/B via RSPNET_BENCH_BATCH,
@@ -145,7 +184,7 @@ def main():
 
     step_per_chip = b_global * n_steps / dt / n_chips
     result = {
-        "metric": "s3dg_moco_pretrain_clips_per_sec_per_chip",
+        "metric": METRIC,
         "value": round(step_per_chip, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(step_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3),
@@ -256,5 +295,34 @@ def main():
     print(json.dumps(result))
 
 
+def _run_guarded():
+    # A wedged tunnel fetch blocks INSIDE a C call, so SIGALRM handlers and
+    # Python-level timeouts never run — only a watchdog thread that emits
+    # the JSON line itself and hard-exits can guarantee the output contract.
+    import threading
+    timeout = int(os.environ.get("RSPNET_BENCH_TIMEOUT", "3300"))
+    if timeout > 0:
+        def _watchdog():
+            _emit_error("bench-timeout",
+                        f"bench exceeded {timeout}s — tunnel wedge?")
+            os._exit(0)  # rc=0: the JSON line IS the result
+        timer = threading.Timer(timeout, _watchdog)
+        timer.daemon = True
+        timer.start()
+    try:
+        main()
+    except RuntimeError as e:
+        msg = str(e)
+        if "tpu-backend-unavailable" in msg or "UNAVAILABLE" in msg:
+            _emit_error("tpu-backend-unavailable", msg)
+        else:
+            _emit_error("runtime-error", msg)
+    except Exception as e:  # never die with a traceback: one JSON line always
+        _emit_error(type(e).__name__, str(e))
+    finally:
+        if timeout > 0:
+            timer.cancel()
+
+
 if __name__ == "__main__":
-    main()
+    _run_guarded()
