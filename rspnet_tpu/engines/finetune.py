@@ -26,6 +26,7 @@ from ..parallel import (mesh_for_args,
 from .classifier import (TrainState, init_train_state,
                          make_classifier_eval_step,
                          make_classifier_train_step, shard_classifier_step)
+from .normalization import dataset_normalization
 from .transfer import load_pretrained_encoder, merge_encoder_into
 
 logger = logging.getLogger(__name__)
@@ -138,7 +139,9 @@ class FinetuneEngine:
                     st.get_float("color_jitter.hue", 0.0)),
             h_flip=st.get_float("h_flip", 0.5),
         )
-        self.normalize = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+        # classification pipeline: config-driven, debug does NOT disable
+        # (reference :222-227)
+        self.normalize = dataset_normalization(cfg)
 
     # -- device preprocessing -------------------------------------------------
     # With a device-geometry loader (pipeline.PipelineConfig.device_geometry)

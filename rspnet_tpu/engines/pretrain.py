@@ -28,6 +28,7 @@ from ..framework.lr_schedule import build_optimizer, build_scheduler, set_opt_lr
 from ..moco import (MoCoState, build_moco_model, init_moco_state,
                     make_sharded_eval_step, make_sharded_train_step)
 from ..ops.augment import augment_batch, sample_train_params
+from .normalization import dataset_normalization
 from ..parallel import (fetch_scalar, mesh_for_args,
                         replicate_to_mesh, shard_batch)
 from ..utils.moco import replace_moco_k_in_config
@@ -120,10 +121,9 @@ class PretrainEngine:
         # augment settings (reference get_transform_vid hardcodes the MoCo
         # stack, datasets/classification/__init__.py:186-216)
         self.aug_plus = cfg.get_bool("moco.aug_plus", False)
-        self.normalize = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
-        if self.debug:
-            # debug disables normalization in the VID pipeline (:152-162)
-            self.normalize = ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+        # dataset.mean/std from config; debug disables normalization in the
+        # VID pipeline (reference :152-162)
+        self.normalize = dataset_normalization(cfg, vid_debug=self.debug)
 
     @staticmethod
     def _on_tpu() -> bool:

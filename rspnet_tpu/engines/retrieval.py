@@ -23,6 +23,7 @@ from ..parallel import (fetch_global, mesh_for_args,
                         replicate_to_mesh, shard_batch)
 from .classifier import init_train_state
 from .finetune import build_classifier_model
+from .normalization import dataset_normalization
 from .transfer import load_pretrained_encoder, merge_encoder_into
 
 logger = logging.getLogger(__name__)
@@ -70,7 +71,9 @@ class RetrievalEngine:
             (1, self.clip_len, self.size, self.size, 3))
 
         self._feature_fn = self._build_feature_fn()
-        self.normalize = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+        # classification pipeline: config-driven, debug does NOT disable
+        # (reference :222-227)
+        self.normalize = dataset_normalization(cfg)
 
     def _build_feature_fn(self):
         from jax import shard_map
@@ -172,7 +175,14 @@ class RetrievalEngine:
                 break
 
     def save_features(self, out_dir: Path, feats, labels, split: str):
+        """Reference artifact names (retrieval.py:133-141):
+        {split}_fold{fold}_feats.npy / {split}_fold{fold}_labels.npy.
+        The round-2 names ({split}_feature.npy / {split}_class.npy) are kept
+        as aliases for tooling written against them."""
         out_dir = Path(out_dir)
+        fold = self.cfg.get_int("dataset.fold", 1)
+        np.save(out_dir / f"{split}_fold{fold}_feats.npy", feats)
+        np.save(out_dir / f"{split}_fold{fold}_labels.npy", labels)
         np.save(out_dir / f"{split}_feature.npy", feats)
         np.save(out_dir / f"{split}_class.npy", labels)
 

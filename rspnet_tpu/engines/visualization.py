@@ -22,12 +22,11 @@ import numpy as np
 from ..config import ConfigTree
 from ..moco import build_moco_model, diff_speed_gather
 from ..ops.augment import _center_max_box, eval_preprocess
+from .normalization import dataset_normalization
 from .transfer import load_pretrained_encoder
 
 logger = logging.getLogger(__name__)
 
-_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def cam_maps(feat_q, feat_k, w_a_q, w_a_k, w_m_q, w_m_k):
@@ -64,11 +63,12 @@ def cam_rgbmask(cam: np.ndarray, out_hw) -> np.ndarray:
     return out
 
 
-def mask_clip(clip: np.ndarray, mask_rgb: np.ndarray,
-              alpha: float = 0.5) -> np.ndarray:
+def mask_clip(clip: np.ndarray, mask_rgb: np.ndarray, mean: np.ndarray,
+              std: np.ndarray, alpha: float = 0.5) -> np.ndarray:
     """Blend heatmap onto denormalized clip [T, H, W, 3] float -> uint8
-    (reference :62-74)."""
-    frames = np.clip(clip * _STD + _MEAN, 0, 1)
+    (reference :62-74); mean/std are the SAME stats the loader normalized
+    with (dataset.mean/std, identity under --debug)."""
+    frames = np.clip(clip * std + mean, 0, 1)
     blend = (1 - alpha) * frames + alpha * (mask_rgb.astype(np.float32) / 255)
     return (np.clip(blend, 0, 1) * 255).astype(np.uint8)
 
@@ -78,6 +78,11 @@ class VisualizationEngine:
         self.args = args
         self.cfg = cfg
         self.debug = bool(getattr(args, "debug", False))
+        # vid pipeline: dataset.mean/std from config, identity under --debug
+        # (reference :152-162)
+        self.normalize = dataset_normalization(cfg, vid_debug=self.debug)
+        self._mean_np = np.array(self.normalize[0], np.float32)
+        self._std_np = np.array(self.normalize[1], np.float32)
         # single-device by design: CAM rendering is a handful of batches
         # under plain jit (axis_name=None), no mesh involved
 
@@ -152,7 +157,7 @@ class VisualizationEngine:
                             w_m_k), (feat_q, feat_k)
 
         n_saved = 0
-        mean, std = tuple(_MEAN), tuple(_STD)
+        mean, std = self.normalize
         it = iter(self.loader)
         try:
             n_saved = self._visual_loop(it, max_batches, out_dir, compute,
@@ -207,7 +212,8 @@ class VisualizationEngine:
                         ("kA", ms_ka, clip_k), ("kM", ms_km, clip_k)):
                     cam_np = np.asarray(cam[b])
                     heat = cam_rgbmask(cam_np, (self.size, self.size))
-                    blended = mask_clip(np.asarray(clip[b]), heat)
+                    blended = mask_clip(np.asarray(clip[b]), heat,
+                                        self._mean_np, self._std_np)
                     self._save_strip(
                         out_dir / f"sample{bi}_{b}_{name}.png", blended)
                     n_saved += 1

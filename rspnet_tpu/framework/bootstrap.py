@@ -16,6 +16,25 @@ import logging
 logger = logging.getLogger(__name__)
 
 
+def _honor_jax_platforms_env():
+    """Make `JAX_PLATFORMS=cpu python pretrain.py ...` actually run on CPU.
+
+    The axon TPU plugin force-rewrites jax_platforms to "axon,cpu" at
+    import time, clobbering the env var (CLAUDE.md); tests/conftest.py and
+    __graft_entry__ re-pin it but the CLIs did not — so a user asking for
+    the CPU backend silently got the TPU (and hung when the tunnel was
+    wedged). Pin the config back to whatever the user exported.
+    """
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", want)
+
+
 def bootstrap(argv=None):
     """Parse args, prepare the run dir, load config, seed. -> (args, cfg)"""
     import random
@@ -26,6 +45,7 @@ def bootstrap(argv=None):
                    set_logging_basic_config, ulimit_n_max)
     from .code_pack import pack_code
 
+    _honor_jax_platforms_env()
     init_distributed()  # multi-host no-op on single host
 
     args = Args.from_args(argv)

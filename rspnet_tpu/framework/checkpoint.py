@@ -14,12 +14,19 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 from pathlib import Path
 from typing import Any, Dict
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+# Device->host fetch watchdog (seconds). The 2026-08-17 tunnel wedge hung a
+# checkpoint save indefinitely and killed a 30-epoch pretrain; a congested
+# but healthy tunnel save measures 63-144 s, so the default leaves slack.
+# 0 disables the watchdog (fetch inline).
+_SAVE_TIMEOUT_S = float(os.environ.get("RSPNET_SAVE_TIMEOUT", "600"))
 
 
 def _to_numpy_tree(obj: Any) -> Any:
@@ -116,8 +123,53 @@ class CheckpointManager:
         self.filename = filename
         self.keep_interval = keep_interval
         self.milestone = milestone
+        self._wedged_fetch: threading.Thread | None = None
 
-    def save(self, state: Dict[str, Any], is_best: bool, epoch: int) -> None:
+    def _fetch_with_watchdog(self, state: Any, timeout: float):
+        """Run the device->host fetch bounded by ``timeout`` seconds.
+
+        A wedged tunnel fetch blocks inside a C call — uninterruptible — so
+        the fetch runs in a daemon thread and we bound the join. On timeout
+        we return None: the caller skips THIS save and training continues
+        (the run stays resumable from the previous atomic checkpoint via
+        ``--continue``). While a wedged fetch is still in flight, later
+        saves skip WITHOUT issuing a new fetch: on a wedged tunnel every
+        extra op just queues behind the stuck one (CLAUDE.md wedge
+        protocol).
+        """
+        if self._wedged_fetch is not None:
+            if self._wedged_fetch.is_alive():
+                logger.warning(
+                    "previous checkpoint fetch still wedged; skipping save "
+                    "(no new device work issued)")
+                return None
+            self._wedged_fetch = None
+        box: Dict[str, Any] = {}
+
+        def worker():
+            try:
+                box["state"] = _to_numpy_tree(state)
+            except BaseException as e:  # surfaced to the caller below
+                box["error"] = e
+
+        t = threading.Thread(target=worker, daemon=True, name="ckpt-fetch")
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            self._wedged_fetch = t
+            logger.warning(
+                "checkpoint device fetch exceeded %.0fs (tunnel wedge?); "
+                "skipping this save — training continues, will retry next "
+                "epoch", timeout)
+            return None
+        if "error" in box:
+            raise box["error"]
+        return box["state"]
+
+    def save(self, state: Dict[str, Any], is_best: bool, epoch: int,
+             timeout: float = None) -> bool:
+        """Returns True if the checkpoint was written (rank 0) or fetched
+        (other ranks); False if the save was skipped by the watchdog."""
         rank = 0
         try:
             import jax
@@ -130,9 +182,15 @@ class CheckpointManager:
         # entered by only one process. Only the file WRITE is rank-0-only
         # (reference pretrain.py:238-260; state is replicated, so process
         # 0's copy is the state).
-        state = _to_numpy_tree(state)
+        timeout = _SAVE_TIMEOUT_S if timeout is None else timeout
+        if timeout > 0:
+            state = self._fetch_with_watchdog(state, timeout)
+            if state is None:
+                return False
+        else:
+            state = _to_numpy_tree(state)
         if rank != 0:
-            return
+            return True
         checkpoint_path = self.experiment_dir / self.filename
         temp_path = self.experiment_dir / f".next.{self.filename}"
 
@@ -160,3 +218,4 @@ class CheckpointManager:
             if keep_path.exists():
                 keep_path.unlink()
             os.link(checkpoint_path, keep_path)
+        return True

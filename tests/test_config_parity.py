@@ -14,30 +14,12 @@ from rspnet_tpu.config import load_config
 from rspnet_tpu.config.tree import ConfigTree
 from tests.conftest import REFERENCE_ROOT, REPO_ROOT
 
+from tests.config_manifest_lists import (ENTRY_CONFIGS, FINETUNE_MIXINS,
+                                         PRETRAIN_MIXINS, golden_name)
+
 REF_CFG = os.path.join(REFERENCE_ROOT, "config")
 OUR_CFG = os.path.join(REPO_ROOT, "config")
-
-ENTRY_CONFIGS = [
-    "pretrain/c3d.jsonnet",
-    "pretrain/resnet18.jsonnet",
-    "pretrain/resnet50.jsonnet",
-    "pretrain/tsm-r18.jsonnet",
-    "pretrain/s3dg.jsonnet",
-    "pretrain/r2plus1d.jsonnet",
-    "finetune/ucf101_c3d.jsonnet",
-    "finetune/ucf101_resnet18.jsonnet",
-    "finetune/ucf101_s3dg.jsonnet",
-    "finetune/ucf101_r2plus1d.jsonnet",
-    "finetune/hmdb51_c3d.jsonnet",
-    "finetune/hmdb51_resnet18.jsonnet",
-    "finetune/hmdb51_s3dg.jsonnet",
-    "finetune/hmdb51_r2plus1d.jsonnet",
-    "finetune/smth_smth_c3d.jsonnet",
-    "finetune/smth_smth_resnet18.jsonnet",
-    "finetune/smth_smth_s3dg.jsonnet",
-    "retrieval/ucf101_c3d.jsonnet",
-    "retrieval/ucf101_resnet18.jsonnet",
-]
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden", "configs")
 
 needs_reference = pytest.mark.skipif(
     not os.path.isdir(REF_CFG), reason="reference repo not mounted")
@@ -58,11 +40,29 @@ def test_manifest_matches_reference(rel):
     assert ours == ref
 
 
+@pytest.mark.parametrize("rel,ext", [(r, []) for r in ENTRY_CONFIGS]
+                         + [("pretrain/s3dg.jsonnet", [m])
+                            for m in PRETRAIN_MIXINS]
+                         + [("finetune/ucf101_c3d.jsonnet", [m])
+                            for m in FINETUNE_MIXINS])
+def test_manifest_matches_golden(rel, ext):
+    """Independent oracle: checked-in, human-reviewed golden manifests
+    (tests/golden/configs/, generated once by make_config_goldens.py).
+    Unlike the same-engine reference comparison above, an evaluator bug
+    cannot change both sides of THIS check. Runs without the reference
+    mount."""
+    ours = load_config(os.path.join(OUR_CFG, rel), list(ext)).as_plain_dict()
+    path = os.path.join(GOLDEN_DIR, golden_name(rel, ext))
+    with open(path) as f:
+        golden = json.load(f)
+    assert ours == golden, (
+        f"{rel} {ext} diverged from the reviewed golden {path}; if the "
+        "config intentionally changed, regenerate with "
+        "tests/golden/make_config_goldens.py and re-review")
+
+
 @needs_reference
-@pytest.mark.parametrize("mixin", [
-    "add.M0", "add.A0", "add.random_stride", "add.weighted_stride",
-    "add.no_random_gray", "add.no_color_jitter", "add.fps25",
-])
+@pytest.mark.parametrize("mixin", PRETRAIN_MIXINS)
 def test_pretrain_mixins_match_reference(mixin):
     rel = "pretrain/s3dg.jsonnet"
     ours = load_config(os.path.join(OUR_CFG, rel), [mixin]).as_plain_dict()
@@ -71,10 +71,7 @@ def test_pretrain_mixins_match_reference(mixin):
 
 
 @needs_reference
-@pytest.mark.parametrize("mixin", [
-    "add.linear", "add.multitask", "add.sp_224", "add.addtrans",
-    "add.model_2stream", "add.finetune", "add.smth_linear", "add.r18k400",
-])
+@pytest.mark.parametrize("mixin", FINETUNE_MIXINS)
 def test_finetune_mixins_match_reference(mixin):
     rel = "finetune/ucf101_c3d.jsonnet"
     ours = load_config(os.path.join(OUR_CFG, rel), [mixin]).as_plain_dict()

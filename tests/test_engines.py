@@ -86,7 +86,11 @@ def test_retrieval_cli_with_mc(pretrain_run, tmp_path):
     vals = [results[f"R@{k}"] for k in (1, 5, 10, 20, 50)]
     assert vals == sorted(vals)
     run_dir = next((tmp_path / "exp_ret").glob("run_0_*"))
-    assert (run_dir / "train_feature.npy").exists()
+    # reference artifact names (retrieval.py:133-141) + round-2 aliases
+    for name in ("train_fold1_feats.npy", "train_fold1_labels.npy",
+                 "test_fold1_feats.npy", "test_fold1_labels.npy",
+                 "train_feature.npy", "train_class.npy"):
+        assert (run_dir / name).exists(), name
     assert (run_dir / "topk_correct.json").exists()
 
 

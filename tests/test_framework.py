@@ -213,3 +213,62 @@ def test_checkpoint_preserves_0d_shapes(tmp_path):
     loaded = load_state(tmp_path / "s.pth.tar")
     assert loaded["ptr"].shape == ()
     assert loaded["vec"].shape == (1,)
+
+
+def test_checkpoint_save_watchdog_survives_wedged_fetch(tmp_path, monkeypatch):
+    """VERDICT r2 #9: a wedged device fetch (the 2026-08-17 tunnel wedge
+    blocked a save forever and killed a 30-epoch run) must not hang save();
+    the epoch loop keeps going and saving resumes once the fetch unwedges."""
+    import threading
+    import time
+
+    from rspnet_tpu.framework import checkpoint as ckpt_mod
+
+    release = threading.Event()
+    real_fetch = ckpt_mod._to_numpy_tree
+    mode = {"wedged": True}
+
+    def fake_fetch(state):
+        if mode["wedged"]:
+            release.wait()          # simulates a fetch stuck in a C call
+        return real_fetch(state)
+
+    monkeypatch.setattr(ckpt_mod, "_to_numpy_tree", fake_fetch)
+    mgr = ckpt_mod.CheckpointManager(tmp_path)
+
+    # epoch loop: wedge on epoch 1, skip-fast on epoch 2, recover on 3
+    t0 = time.perf_counter()
+    assert mgr.save({"epoch": 1}, is_best=False, epoch=1, timeout=0.3) is False
+    assert time.perf_counter() - t0 < 5.0
+    assert not (tmp_path / "checkpoint.pth.tar").exists()
+
+    # the wedged fetch is still in flight: the next save must skip WITHOUT
+    # issuing a new fetch (no new device work on a wedged tunnel)
+    calls = {"n": 0}
+    def counting_fetch(state):
+        calls["n"] += 1
+        return fake_fetch(state)
+    monkeypatch.setattr(ckpt_mod, "_to_numpy_tree", counting_fetch)
+    assert mgr.save({"epoch": 2}, is_best=False, epoch=2, timeout=0.3) is False
+    assert calls["n"] == 0
+
+    # tunnel recovers: the stuck thread finishes, epoch 3 saves normally
+    mode["wedged"] = False
+    release.set()
+    mgr._wedged_fetch.join(5.0)
+    assert mgr.save({"epoch": 3}, is_best=True, epoch=3, timeout=5.0) is True
+    assert load_state(tmp_path / "checkpoint.pth.tar")["epoch"] == 3
+    assert load_state(tmp_path / "model_best.pth.tar")["epoch"] == 3
+
+
+def test_checkpoint_save_watchdog_propagates_fetch_errors(tmp_path,
+                                                          monkeypatch):
+    from rspnet_tpu.framework import checkpoint as ckpt_mod
+
+    def boom(state):
+        raise RuntimeError("fetch exploded")
+
+    monkeypatch.setattr(ckpt_mod, "_to_numpy_tree", boom)
+    mgr = ckpt_mod.CheckpointManager(tmp_path)
+    with pytest.raises(RuntimeError, match="fetch exploded"):
+        mgr.save({"epoch": 1}, is_best=False, epoch=1, timeout=5.0)

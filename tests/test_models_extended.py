@@ -60,18 +60,19 @@ def test_slowfast_all_specs_smoke():
 
 def test_slowfast_specs_match_reference_yamls():
     """The static SPECS table equals what spec_from_yaml derives from every
-    reference YAML it covers (config/slowfast-configs/Kinetics{,/c2})."""
+    YAML it covers. The Kinetics YAMLs are vendored (config data) under
+    config/slowfast-configs/Kinetics{,/c2}, so this runs standalone —
+    no reference mount needed."""
     import glob
     import os
 
-    from tests.conftest import REFERENCE_ROOT
     from rspnet_tpu.models.slowfast import SPECS, spec_from_yaml
 
-    pattern = os.path.join(REFERENCE_ROOT,
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pattern = os.path.join(repo,
                            "config/slowfast-configs/Kinetics/**/*.yaml")
     paths = sorted(glob.glob(pattern, recursive=True))
-    if not paths:
-        pytest.skip("reference repo not mounted")
+    assert len(paths) == 30, "vendored Kinetics YAML set incomplete"
     checked = 0
     for p in paths:
         name = os.path.splitext(os.path.basename(p))[0]
@@ -82,6 +83,28 @@ def test_slowfast_specs_match_reference_yamls():
         assert derived == SPECS[base], f"{base} diverges from {p}"
         checked += 1
     assert checked >= 20  # every yaml (R50+R101+c2 variants) is covered
+
+
+def test_vendored_yamls_are_byte_identical_to_reference():
+    """The vendored copies must never drift from the reference snapshot."""
+    import glob
+    import os
+
+    from tests.conftest import REFERENCE_ROOT
+
+    ref_dir = os.path.join(REFERENCE_ROOT, "config/slowfast-configs/Kinetics")
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference repo not mounted")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref_paths = sorted(glob.glob(os.path.join(ref_dir, "**/*.yaml"),
+                                 recursive=True))
+    assert ref_paths
+    for rp in ref_paths:
+        rel = os.path.relpath(rp, os.path.join(REFERENCE_ROOT, "config"))
+        vp = os.path.join(repo, "config", rel)
+        assert os.path.exists(vp), f"missing vendored {rel}"
+        with open(rp, "rb") as a, open(vp, "rb") as b:
+            assert a.read() == b.read(), f"vendored {rel} drifted"
 
 
 def test_sub_batchnorm_matches_reference_semantics():
