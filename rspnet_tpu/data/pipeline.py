@@ -50,9 +50,18 @@ class PipelineConfig:
     # removes the per-frame cv2.resize loop from the host hot path — the
     # dominant host cost (~25ms/sample vs ~6ms decode on a 1-vCPU host) —
     # at the price of shipping decode-res pixels over H2D. Requires every
-    # video in the dataset to decode to ONE fixed (H, W) (synthetic, or a
-    # fixed-size transcode); np.stack raises otherwise.
+    # video in the dataset to decode to ONE fixed (H, W) (synthetic, a
+    # fixed-size transcode, or decode_size below); np.stack raises
+    # otherwise.
     device_geometry: bool = False
+    # decode-time scaling: (H, W) every clip is resized to DURING decode
+    # (the native decoder's sws_scale converts YUV->RGB and resizes in the
+    # same pass — free). This makes device_geometry work on variable-size
+    # datasets (the reference transcode recipe scale=w=-2:h=256 yields
+    # variable widths) without the per-frame host resize. Note: fixed
+    # (H, W) from variable-aspect sources distorts aspect slightly; the
+    # Inception-style crop's aspect jitter (3/4..4/3) dwarfs it.
+    decode_size: Optional[Tuple[int, int]] = None
     # packed dual-speed loading: positions WITHIN the temporal window to
     # actually decode/ship (moco.builder.packed_frame_subset). For
     # diff_speed=(2,) and clip_len=32 this is 24 of 32 positions — 25%
@@ -118,7 +127,12 @@ def _load_one(catalog, cfg: "PipelineConfig", index: int,
             sub = np.asarray(c.frame_subset)
             clip_indices = [ci[sub] for ci in clip_indices]
         all_idx = np.concatenate(clip_indices)
-        frames = vr.get_batch(all_idx)  # one decode pass (reference :75)
+        out_wh = None
+        if c.decode_size is not None:
+            out_wh = (int(c.decode_size[1]), int(c.decode_size[0]))  # (w, h)
+        # one decode pass (reference :75); resize rides the decode when
+        # decode_size is set
+        frames = vr.get_batch(all_idx, out_wh=out_wh)
 
     clips = []
     ofs = 0
@@ -317,8 +331,11 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
     frame_subset = None
     if vid and cfg_tree.get_bool("moco.packed_frames", False):
         from ..moco.builder import packed_frame_subset
-        frame_subset = packed_frame_subset(
-            tt.get_int("size"), tuple(cfg_tree.get_list("moco.diff_speed")))
+        speeds = tuple(cfg_tree.get_list("moco.diff_speed"))
+        # multi-speed trains each step at its own T//s (exact mode,
+        # engines/pretrain.py): pack the union every branch can address
+        frame_subset = packed_frame_subset(tt.get_int("size"), speeds,
+                                           exact=len(speeds) > 1)
 
     cfg = PipelineConfig(
         clip_len=tt.get_int("size"),
@@ -341,6 +358,8 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
         seed=cfg_tree.get_int("seed", 0),
         use_processes=cfg_tree.get_bool("use_process_workers", False),
         device_geometry=cfg_tree.get_bool("device_geometry", False),
+        decode_size=(tuple(cfg_tree.get_list("decode_size"))
+                     if "decode_size" in cfg_tree else None),
     )
     # multi-host: shard every global batch across JAX processes (the
     # reference's DistributedSampler, classification/__init__.py:130)

@@ -28,8 +28,11 @@ class VideoReaderBase:
     num_frames: int = 0
     fps: float = 30.0
 
-    def get_batch(self, indices: Sequence[int]) -> np.ndarray:
-        """-> uint8 [N, H, W, C] in RGB order."""
+    def get_batch(self, indices: Sequence[int],
+                  out_wh: Optional[tuple] = None) -> np.ndarray:
+        """-> uint8 [N, H, W, C] in RGB order. ``out_wh=(w, h)`` resizes
+        during decode (the native backend rides its sws_scale pass; others
+        resize after decode)."""
         raise NotImplementedError
 
     def close(self):
@@ -40,6 +43,20 @@ class VideoReaderBase:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def _maybe_resize(frames: np.ndarray, out_wh: Optional[tuple]) -> np.ndarray:
+    """Post-decode bilinear resize for backends without decode-time scaling
+    (matches the native backend's sws BILINEAR output semantics)."""
+    if out_wh is None or (frames.shape[2], frames.shape[1]) == tuple(out_wh):
+        return frames
+    import cv2
+    w, h = int(out_wh[0]), int(out_wh[1])
+    out = np.empty((frames.shape[0], h, w, 3), np.uint8)
+    for t in range(frames.shape[0]):
+        out[t] = cv2.resize(frames[t], (w, h),
+                            interpolation=cv2.INTER_LINEAR)
+    return out
 
 
 class SyntheticVideoReader(VideoReaderBase):
@@ -83,7 +100,7 @@ class SyntheticVideoReader(VideoReaderBase):
         self._vel = np.array([np.sin(ang), np.cos(ang)]) * speed
         self._start = rng.rand(2) * 0.5 + 0.25
 
-    def get_batch(self, indices) -> np.ndarray:
+    def get_batch(self, indices, out_wh: Optional[tuple] = None) -> np.ndarray:
         indices = np.asarray(indices, dtype=np.int64)
         n = len(indices)
         size = max(self.height, self.width) // 6
@@ -101,7 +118,7 @@ class SyntheticVideoReader(VideoReaderBase):
                            60 + (indices % 5) * 10], axis=1)
         for i in range(n):
             out[i, cy[i]:cy[i] + size, cx[i]:cx[i] + size] = colors[i]
-        return out
+        return _maybe_resize(out, out_wh)
 
 
 class CvVideoReader(VideoReaderBase):
@@ -126,7 +143,7 @@ class CvVideoReader(VideoReaderBase):
             self.cap.release()
             self.cap = cv2.VideoCapture(path)
 
-    def get_batch(self, indices) -> np.ndarray:
+    def get_batch(self, indices, out_wh: Optional[tuple] = None) -> np.ndarray:
         cv2 = self._cv2
         indices = np.asarray(indices, dtype=np.int64)
         first, last = int(indices.min()), int(indices.max())
@@ -158,7 +175,7 @@ class CvVideoReader(VideoReaderBase):
         # fill any missing frames with the nearest decoded one
         fallback = frames.get(last_ok)
         out = np.stack([frames.get(int(i), fallback) for i in indices])
-        return out
+        return _maybe_resize(out, out_wh)
 
     def close(self):
         self.cap.release()

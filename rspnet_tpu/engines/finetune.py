@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ConfigTree
-from ..framework import CheckpointManager, MeterGroup, load_state
+from ..framework import CheckpointManager, MeterGroup, MetricSpool, load_state
 from ..framework.lr_schedule import build_optimizer, build_scheduler, set_opt_lr
 from ..models import get_model_class
 from ..moco import MultiTaskWrapper
@@ -218,8 +218,7 @@ class FinetuneEngine:
         t0 = time.perf_counter()
         from ..data.pipeline import prefetch_iterator
         keys = ("loss", "acc1", "acc5")
-        pending = []          # [n_metrics] device arrays, fetched in bulk
-        pending_n = []
+        spool = MetricSpool()  # bulk chunked fetches of per-step metrics
         for i, batch in enumerate(prefetch_iterator(iter(self.train_loader))):
             clips = self._device_train_augment(batch["clips"][0])
             clips = shard_batch(clips, self.mesh)
@@ -229,17 +228,17 @@ class FinetuneEngine:
                                                   sub)
             # per-scalar device fetches cost a full tunnel round-trip each;
             # stack and fetch in bulk (log-late, like the reference)
-            pending.append(jnp.stack([metrics[k] for k in keys]))
-            pending_n.append(batch["labels"].shape[0])
+            spool.append(jnp.stack([metrics[k] for k in keys]),
+                         n=batch["labels"].shape[0])
             if i % self.log_interval == 0:
-                vals = np.asarray(pending[-1])
+                vals = spool.last()
                 logger.info("Train [%d/%d][%d/%d]\t%s", epoch,
                             self.num_epochs, i, n_batches,
                             "\t".join(f"{k}={v:.4f}"
                                       for k, v in zip(keys, vals)))
             if self.debug and i >= 2:
                 break
-        for row, n in zip(np.asarray(jnp.stack(pending)), pending_n):
+        for row, n in spool.rows():
             meters.update(dict(zip(keys, row)), n=n)
         logger.info("Train epoch %d done in %.1fs", epoch,
                     time.perf_counter() - t0)
@@ -255,7 +254,7 @@ class FinetuneEngine:
         sum_keys = ("loss_sum", "correct1", "correct5", "count")
         self.validate_loader.set_epoch(epoch)
         t0 = time.perf_counter()
-        pending = []
+        spool = MetricSpool()
         from ..data.pipeline import prefetch_iterator
         for i, batch in enumerate(prefetch_iterator(
                 iter(self.validate_loader))):
@@ -264,10 +263,10 @@ class FinetuneEngine:
             labels = shard_batch(jnp.asarray(batch["labels"]), self.mesh)
             mask = shard_batch(jnp.asarray(batch["mask"]), self.mesh)
             sums = self.eval_step(self.state, clips, labels, mask)
-            pending.append(jnp.stack([sums[k] for k in sum_keys]))
+            spool.append(jnp.stack([sums[k] for k in sum_keys]))
             if self.debug and i >= 2:
                 break
-        all_sums = np.asarray(jnp.stack(pending)).sum(axis=0)
+        all_sums = np.sum([row for row, _ in spool.rows()], axis=0)
         totals = dict(zip(sum_keys, all_sums))
         count = max(totals["count"], 1.0)
         loss = totals["loss_sum"] / count

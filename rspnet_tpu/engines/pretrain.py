@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ConfigTree
-from ..framework import CheckpointManager, MeterGroup, load_state
+from ..framework import CheckpointManager, MeterGroup, MetricSpool, load_state
 from ..framework.environment import scale_learning_rate
 from ..framework.lr_schedule import build_optimizer, build_scheduler, set_opt_lr
 from ..moco import (MoCoState, build_moco_model, init_moco_state,
@@ -95,8 +95,22 @@ class PretrainEngine:
             (1, t_real, self.size, self.size, 3))
         self.state = replicate_to_mesh(self.state, self.mesh)
 
-        self.train_step = make_sharded_train_step(
-            self.model, self.optimizer, self.moco_cfg, self.mesh)
+        ds = tuple(self.moco_cfg.diff_speed or ())
+        if len(ds) > 1:
+            # exact multi-speed: the reference trains each step at
+            # T_real = T//s for a per-step random speed (builder:431-434);
+            # one compiled step per speed, host draws the speed. The draw
+            # is seeded WITHOUT process_index: it must be mesh-uniform
+            # (every host runs the same program for a given step).
+            from ..moco.builder import make_variable_speed_train_steps
+            self._speed_steps = make_variable_speed_train_steps(
+                self.model, self.optimizer, self.moco_cfg, self.mesh)
+            self._speed_rng = np.random.default_rng(
+                cfg.get_int("seed", 0) + 0x5BEE)
+            self.train_step = self._variable_speed_step
+        else:
+            self.train_step = make_sharded_train_step(
+                self.model, self.optimizer, self.moco_cfg, self.mesh)
 
         self.checkpoint_manager = CheckpointManager(
             args.experiment_dir,
@@ -124,6 +138,14 @@ class PretrainEngine:
         # dataset.mean/std from config; debug disables normalization in the
         # VID pipeline (reference :152-162)
         self.normalize = dataset_normalization(cfg, vid_debug=self.debug)
+
+    def _draw_speed(self) -> int:
+        ds = self.moco_cfg.diff_speed
+        return int(ds[int(self._speed_rng.integers(len(ds)))])
+
+    def _variable_speed_step(self, state, clip_q, clip_k, rng):
+        return self._speed_steps[self._draw_speed()](state, clip_q, clip_k,
+                                                     rng)
 
     @staticmethod
     def _on_tpu() -> bool:
@@ -170,10 +192,11 @@ class PretrainEngine:
         n_batches = len(self.train_loader)
         t_epoch = time.perf_counter()
         samples = 0
-        # keep EVERY step's metrics as device scalars (no sync); one host
-        # fetch at epoch end gives the exact full-epoch averages the
-        # reference computes per-iteration (pretrain.py:169-195)
-        pending = []
+        # keep EVERY step's metrics as device scalars (no sync); bounded
+        # chunked fetches give the exact full-epoch averages the reference
+        # computes per-iteration (pretrain.py:169-195) without compiling a
+        # whole-epoch stacked program
+        spool = MetricSpool()
 
         import os
         timing = os.environ.get("RSPNET_TIMING")
@@ -205,13 +228,13 @@ class PretrainEngine:
                 tprev = t2
             # stack the step's metrics into ONE device array: per-scalar
             # fetches cost a full tunnel round-trip each (~1s on axon)
-            pending.append(jnp.stack([metrics[k] for k in _METER_KEYS]))
+            spool.append(jnp.stack([metrics[k] for k in _METER_KEYS]))
             samples += batch["labels"].shape[0]
 
             if i % self.log_interval == 0:
                 # the only mid-epoch device sync, like the reference's
                 # log-late pattern (pretrain.py:177-185) — one transfer
-                vals = np.asarray(pending[-1])
+                vals = spool.last()
                 logger.info(
                     "Epoch %d [%d/%d] %s lr=%.5f", epoch, i, n_batches,
                     "\t".join(f"{k}={v:.4f}"
@@ -220,10 +243,9 @@ class PretrainEngine:
             if self.debug and i >= 2:
                 break
 
-        # single [n_steps, n_metrics] transfer for the exact epoch averages
-        all_vals = np.asarray(jnp.stack(pending))
-        for row in all_vals:
-            self.meters.update(dict(zip(_METER_KEYS, row)), n=1)
+        # drain the spool (exact epoch averages; <= chunk-size transfers)
+        for row, n in spool.rows():
+            self.meters.update(dict(zip(_METER_KEYS, row)), n=n)
 
         jax.block_until_ready(self.state.step)
         dt = time.perf_counter() - t_epoch
@@ -242,11 +264,19 @@ class PretrainEngine:
 
     def validate_epoch(self) -> dict:
         """One no-grad statistics epoch (reference: pretrain.py:300-304)."""
-        eval_step = make_sharded_eval_step(self.model, self.moco_cfg,
-                                           self.mesh)
+        if len(tuple(self.moco_cfg.diff_speed or ())) > 1:
+            from ..moco.builder import make_variable_speed_eval_steps
+            steps = make_variable_speed_eval_steps(self.model, self.moco_cfg,
+                                                   self.mesh)
+
+            def eval_step(state, q, k, rng):
+                return steps[self._draw_speed()](state, q, k, rng)
+        else:
+            eval_step = make_sharded_eval_step(self.model, self.moco_cfg,
+                                               self.mesh)
         meters = MeterGroup(_METER_KEYS)
         self.train_loader.set_epoch(self.current_epoch)
-        pending, pending_n = [], []
+        spool = MetricSpool()
         from ..data.pipeline import prefetch_iterator
         for i, batch in enumerate(prefetch_iterator(iter(self.train_loader))):
             clip_q = shard_batch(self._augment_clip(batch["clips"][0]),
@@ -255,11 +285,11 @@ class PretrainEngine:
                                  self.mesh)
             self.step_key, sub = jax.random.split(self.step_key)
             metrics = eval_step(self.state, clip_q, clip_k, sub)
-            pending.append(jnp.stack([metrics[k] for k in _METER_KEYS]))
-            pending_n.append(batch["labels"].shape[0])
+            spool.append(jnp.stack([metrics[k] for k in _METER_KEYS]),
+                         n=batch["labels"].shape[0])
             if self.debug and i >= 2:
                 break
-        for row, n in zip(np.asarray(jnp.stack(pending)), pending_n):
+        for row, n in spool.rows():
             meters.update(dict(zip(_METER_KEYS, row)), n=n)
         logger.info("Validate statistics: %s", meters)
         return {k: meters[k].avg for k in _METER_KEYS}

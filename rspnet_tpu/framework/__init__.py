@@ -7,7 +7,7 @@ from .checkpoint import CheckpointManager, load_state, save_state
 from .environment import (enable_persistent_jit_cache,
                           scale_learning_rate, ulimit_n_max)
 from .logging import TqdmHandler, set_logging_basic_config
-from .meters import AverageMeter, MeterGroup
+from .meters import AverageMeter, MeterGroup, MetricSpool
 from .metrics import accuracy, binary_accuracy, masked_accuracy
 from .reproduction import initialize_seed
 from .bootstrap import bootstrap
@@ -17,7 +17,7 @@ __all__ = [
     "CheckpointManager", "load_state", "save_state",
     "scale_learning_rate", "ulimit_n_max", "enable_persistent_jit_cache",
     "TqdmHandler", "set_logging_basic_config",
-    "AverageMeter", "MeterGroup",
+    "AverageMeter", "MeterGroup", "MetricSpool",
     "accuracy", "binary_accuracy", "masked_accuracy",
     "initialize_seed",
     "bootstrap",

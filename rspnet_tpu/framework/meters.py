@@ -79,3 +79,47 @@ class MeterGroup:
 
     def __str__(self) -> str:
         return "\t".join(str(m) for m in self.meters.values())
+
+
+class MetricSpool:
+    """Per-step device metric rows, fetched in bounded chunks.
+
+    Engines stack each step's metrics into one [n_metrics] device array and
+    fetch in bulk (per-scalar fetches cost a full tunnel round-trip each).
+    Fetching once per EPOCH builds one jnp.stack over every step — at K400
+    scale a ~2000-operand concat compiled per distinct epoch length, with
+    the tail epoch recompiling. Chunking bounds the stacked program at
+    ``chunk`` operands (the tail chunk re-compiles once per distinct tail
+    length, <= chunk operands) and keeps at most ``chunk`` rows of device
+    metrics alive.
+    """
+
+    def __init__(self, chunk: int = 256):
+        self.chunk = chunk
+        self._pending = []   # (device [n_metrics] row, n)
+        self._rows = []      # (numpy row, n), already fetched
+
+    def append(self, row, n: int = 1) -> None:
+        self._pending.append((row, n))
+        if len(self._pending) >= self.chunk:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._pending:
+            return
+        import jax.numpy as jnp
+        vals = np.asarray(jnp.stack([r for r, _ in self._pending]))
+        self._rows.extend(zip(vals, (n for _, n in self._pending)))
+        self._pending = []
+
+    def last(self) -> np.ndarray:
+        """Latest appended row as numpy (one transfer — the mid-epoch
+        log-late pattern)."""
+        if self._pending:
+            return np.asarray(self._pending[-1][0])
+        return self._rows[-1][0]
+
+    def rows(self):
+        """Fetch everything still pending; -> list of (numpy_row, n)."""
+        self.flush()
+        return self._rows

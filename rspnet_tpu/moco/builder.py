@@ -49,6 +49,19 @@ class MoCoConfig(NamedTuple):
     # the input's frame axis is the packed length.
     packed_frames: bool = False
     t_load: Optional[int] = None
+    # exact multi-speed mode: the speeds the LOADER packed for (the exact
+    # union, see packed_frame_subset(exact=True)) when this config is a
+    # single-speed branch of make_variable_speed_train_steps. None =
+    # the subset layout is packed_frame_subset(t_load, diff_speed).
+    pack_speeds: Optional[Tuple[int, ...]] = None
+    # fused key pass: run both no-grad key clips (real + negative) as ONE
+    # 2B-batch forward — half the launches, better MXU tiling. BN batch
+    # stats then cover both speed distributions at once instead of the
+    # reference's two sequential B-batches (builder:445,512): a deliberate,
+    # stats-only deviation. False restores the reference's sequential
+    # passes bit-for-bit (used by tests/test_step_parity.py to pin the
+    # whole train step against the reference torch modules).
+    fused_key_pass: bool = True
 
 
 class MoCoState(NamedTuple):
@@ -119,19 +132,32 @@ def speed_index_sets(T: int, diff_speed: Sequence[int]) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
-def packed_frame_subset(T: int, diff_speed: Sequence[int]):
+def packed_frame_subset(T: int, diff_speed: Sequence[int],
+                        exact: bool = False):
     """Sorted union of window positions any speed row can touch.
 
     For diff_speed=(2,), T=32: {0..15} ∪ {0,2,..,30} = 24 positions. The
     loader decodes/ships only these; diff_speed_gather addresses the packed
     axis via positions-within-subset, so the training math is bit-identical
     to shipping all T frames.
+
+    ``exact=True`` is the multi-speed variable-length mode (one compiled
+    step per speed, T_real = T//s like the reference): each speed s needs
+    its OWN slow window range(T//s) plus its fast row, so the union is
+    over per-speed needs instead of the single pinned T//max window.
     """
     import numpy as np
-    t_real = real_clip_len(T, diff_speed)
-    need = set(range(t_real))                       # speed-1 window
-    for s in diff_speed:
-        need.update(range(0, T, s)[:t_real])
+    if exact:
+        need = set()
+        for s in diff_speed:
+            t_real = T // s
+            need.update(range(t_real))
+            need.update(range(0, T, s)[:t_real])
+    else:
+        t_real = real_clip_len(T, diff_speed)
+        need = set(range(t_real))                   # speed-1 window
+        for s in diff_speed:
+            need.update(range(0, T, s)[:t_real])
     return np.asarray(sorted(need), np.int64)
 
 
@@ -164,7 +190,12 @@ def diff_speed_gather(im_q, im_k, key, cfg: MoCoConfig):
     table = speed_index_sets(T, cfg.diff_speed)            # fast candidates
     if cfg.packed_frames:
         # remap window positions -> positions within the packed subset
-        subset = packed_frame_subset(T, cfg.diff_speed)
+        # (pack_speeds: the loader packed the exact multi-speed union and
+        # this cfg is one single-speed branch of it)
+        if cfg.pack_speeds is not None:
+            subset = packed_frame_subset(T, cfg.pack_speeds, exact=True)
+        else:
+            subset = packed_frame_subset(T, cfg.diff_speed)
         assert im_q.shape[1] == len(subset), (
             f"packed input has {im_q.shape[1]} frames, subset needs "
             f"{len(subset)} (t_load={T}, diff_speed={cfg.diff_speed})")
@@ -209,7 +240,11 @@ def queue_update(queue, queue_ptr, keys):
             f"moco.k ({queue.shape[1]}) must be divisible by the global "
             f"batch ({batch}); see utils/moco.py:replace_moco_k_in_config")
     queue = jax.lax.dynamic_update_slice(
-        queue, keys.T.astype(queue.dtype), (0, queue_ptr))
+        queue, keys.T.astype(queue.dtype),
+        # the 0 literal must match queue_ptr's integer width (x64 mode
+        # would otherwise promote it to int64 and dynamic_update_slice
+        # rejects mixed index types)
+        (jnp.zeros((), queue_ptr.dtype), queue_ptr))
     queue_ptr = (queue_ptr + batch) % queue.shape[1]
     return queue, queue_ptr
 
@@ -265,13 +300,26 @@ def make_train_step(model, optimizer, cfg: MoCoConfig,
         #    two sequential passes (builder:445,512); BN then sees both
         #    speed distributions at once, which only stabilizes its stats.
         b = im_k_real.shape[0]
-        k_both = jnp.concatenate([im_k_real, im_k_neg], axis=0)
-        (kb_a, kb_m), stats_k = apply_encoder(
-            params_k, state.batch_stats_k, k_both, train=True)
-        kb_a = jax.lax.stop_gradient(kb_a)
-        kb_m = jax.lax.stop_gradient(kb_m)
-        k_a, k_neg_a = kb_a[:b], kb_a[b:]
-        k_m, k_neg_m = kb_m[:b], kb_m[b:]
+        if cfg.fused_key_pass:
+            k_both = jnp.concatenate([im_k_real, im_k_neg], axis=0)
+            (kb_a, kb_m), stats_k = apply_encoder(
+                params_k, state.batch_stats_k, k_both, train=True)
+            kb_a = jax.lax.stop_gradient(kb_a)
+            kb_m = jax.lax.stop_gradient(kb_m)
+            k_a, k_neg_a = kb_a[:b], kb_a[b:]
+            k_m, k_neg_m = kb_m[:b], kb_m[b:]
+        else:
+            # reference order: negative first (inside _diff_speed, :445),
+            # then the real key (forward, :512) — running BN stats update
+            # twice sequentially; batch stats per pass cover B samples
+            (k_neg_a, k_neg_m), stats_k = apply_encoder(
+                params_k, state.batch_stats_k, im_k_neg, train=True)
+            (k_a, k_m), stats_k = apply_encoder(
+                params_k, stats_k, im_k_real, train=True)
+            k_a = jax.lax.stop_gradient(k_a)
+            k_m = jax.lax.stop_gradient(k_m)
+            k_neg_a = jax.lax.stop_gradient(k_neg_a)
+            k_neg_m = jax.lax.stop_gradient(k_neg_m)
 
         # 4. query pass + loss (differentiated)
         def loss_fn(params_q):
@@ -431,3 +479,46 @@ def make_sharded_train_step(model, optimizer, cfg: MoCoConfig, mesh,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def speed_branch_config(cfg: MoCoConfig, speed: int) -> MoCoConfig:
+    """Single-speed branch of an exact multi-speed config.
+
+    The branch trains at the reference's per-speed clip length
+    T_real = T//speed (builder_diffspeed_diffloss.py:431-434); when the
+    loader ships packed frames it packed the exact multi-speed union, so
+    the branch must address THAT layout (pack_speeds)."""
+    return cfg._replace(
+        diff_speed=(speed,),
+        pack_speeds=tuple(cfg.diff_speed) if cfg.packed_frames else None)
+
+
+def make_variable_speed_train_steps(model, optimizer, cfg: MoCoConfig, mesh,
+                                    axis_name: str = "data") -> dict:
+    """Exact multi-speed training: {speed: sharded step}.
+
+    The reference draws a speed per step (random.choice, builder:431) and
+    trains that step at T_real = T//s — a DIFFERENT clip length per draw,
+    which XLA cannot express in one program (static shapes). The honest
+    TPU mapping is one compiled step per speed with the host drawing the
+    speed per step (engines/pretrain.py). Two deliberate deviations,
+    documented: the draw is mesh-uniform per step (the reference's is
+    per-rank — SPMD shares one program per step), and compile cost is
+    x len(diff_speed). Every state array is shape-identical across
+    branches, so the steps interleave freely on one MoCoState.
+    """
+    return {
+        s: make_sharded_train_step(
+            model, optimizer, speed_branch_config(cfg, s), mesh,
+            axis_name=axis_name)
+        for s in cfg.diff_speed
+    }
+
+
+def make_variable_speed_eval_steps(model, cfg: MoCoConfig, mesh,
+                                   axis_name: str = "data") -> dict:
+    return {
+        s: make_sharded_eval_step(model, speed_branch_config(cfg, s), mesh,
+                                  axis_name=axis_name)
+        for s in cfg.diff_speed
+    }

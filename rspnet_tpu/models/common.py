@@ -29,6 +29,77 @@ def _pad3(p) -> Sequence[Tuple[int, int]]:
     return [(p[0], p[0]), (p[1], p[1]), (p[2], p[2])]
 
 
+class BatchNorm(nn.Module):
+    """torch-parity BatchNorm3d over NDHWC (features = last axis).
+
+    Differences from ``flax.linen.BatchNorm`` (which this replaces at every
+    site, same param/batch_stats layout so checkpoints are unaffected):
+    - running_var updates with the UNBIASED batch variance (Bessel
+      n/(n-1)) like torch BatchNorm; flax stores the biased one. At small
+      per-channel counts the gap is material (n=32 -> 3.2% per update) and
+      it systematically shrinks eval-time variances.
+    - normalization itself uses the biased variance (torch does too).
+
+    ``axis_name`` psums the moments across the data mesh (cross-replica BN,
+    the shuffle-BN replacement, SURVEY.md §5.8); n then counts the global
+    elements so the Bessel factor stays exact.
+
+    Verified against torch in float64 by tests/test_step_parity.py.
+    """
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+    axis_name: Optional[str] = None
+    scale_init: Callable = nn.initializers.ones
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: Optional[bool] = None) -> jnp.ndarray:
+        import jax
+
+        ura = nn.merge_param("use_running_average",
+                             self.use_running_average, use_running_average)
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
+        bias = self.param("bias", self.bias_init, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        # stats in (at least) f32 even under bf16 compute
+        stats_dtype = jnp.promote_types(jnp.float32, x.dtype)
+        xf = x.astype(stats_dtype)
+        if ura:
+            mean = ra_mean.value.astype(stats_dtype)
+            var = ra_var.value.astype(stats_dtype)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(jnp.square(xf), axes)
+            n = x.size // c
+            if self.axis_name is not None and not self.is_initializing():
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                # n may be traced under a mesh axis; stay array-safe
+                unbias = (jnp.asarray(n, stats_dtype)
+                          / jnp.maximum(jnp.asarray(n, stats_dtype) - 1, 1))
+                m = self.momentum
+                ra_dtype = ra_mean.value.dtype
+                ra_mean.value = (m * ra_mean.value
+                                 + (1 - m) * mean).astype(ra_dtype)
+                ra_var.value = (m * ra_var.value
+                                + (1 - m) * var * unbias).astype(ra_dtype)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(stats_dtype) + bias.astype(stats_dtype)
+        return y.astype(self.dtype or x.dtype)
+
+
 class SubBatchNorm(nn.Module):
     """Split-batch normalization (reference: models/slowfast/
     batchnorm_helper.py:36-108, SubBatchNorm3d).
@@ -75,10 +146,15 @@ class SubBatchNorm(nn.Module):
             m = jnp.mean(xs, axis=(0, 2, 3, 4))          # [k, c]
             v = jnp.var(xs, axis=(0, 2, 3, 4))
             if not self.is_initializing():
+                # torch-parity: running_var updates with the UNBIASED
+                # variance of each split (the reference's per-split
+                # BatchNorm3d does; see BatchNorm docstring)
+                n_el = xs.size // (k * c)
+                unbias = n_el / max(n_el - 1, 1)
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * m)
                 ra_var.value = (self.momentum * ra_var.value
-                                + (1 - self.momentum) * v)
+                                + (1 - self.momentum) * v * unbias)
             xs = (xs - m[None, :, None, None, None, :]) * jax.lax.rsqrt(
                 v[None, :, None, None, None, :] + self.epsilon)
             xf = xs.reshape(x.shape)
@@ -137,12 +213,12 @@ class ConvBN(nn.Module):
                 name="bn",
             )(x, train)
         elif self.use_bn:
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train,
                 momentum=self.bn_momentum,
                 epsilon=self.bn_eps,
                 dtype=self.dtype,
-                axis_name=self.axis_name if train else None,
+                axis_name=self.axis_name,
                 scale_init=self.bn_scale_init,
                 name="bn",
             )(x)
@@ -265,6 +341,91 @@ def _pool1d_bwd_fm(vin, vout, g, axis: int, k: int, s: int, p: int):
     return jax.lax.slice_in_dim(acc, p, p + d, axis=axis)
 
 
+def _max_pool3d_reshape(x: jnp.ndarray, k) -> jnp.ndarray:
+    """stride==window, no-pad max pool as reshape + full-axis max.
+
+    No windowed op at all: S3D-G's pool4 is 2x2x2 stride 2
+    (models/s3dg.py via _INC_CHANNELS), where reduce_window runs at ~2
+    TF/s forward and its VJP select-and-scatters; a full-axis max lowers
+    to a plain reduce and its VJP to elementwise compare+select.
+    Floor mode drops the non-divisible tail, like torch MaxPool3d.
+    """
+    B, T, H, W, C = x.shape
+    kt, kh, kw = k
+    t, h, w = T // kt, H // kh, W // kw
+    x = x[:, :t * kt, :h * kh, :w * kw]
+    x = x.reshape(B, t, kt, h, kh, w, kw, C)
+    return x.max(axis=(2, 4, 6))
+
+
+def _chain_pool_stages(x: jnp.ndarray, k, s, p):
+    """[x, after-T, after-H, after-W] via the slice/maximum chains
+    (elementwise, fuses into one loop per axis — unlike the ~2 TF/s
+    forward reduce_windows). Values are exact maxes, bit-equal to the
+    reduce_window stages."""
+    stages = [x]
+    for axis in (1, 2, 3):
+        stages.append(_max_pool_1d(stages[-1], axis, k[axis - 1],
+                                   s[axis - 1], p[axis - 1]))
+    return stages
+
+
+def _rw1d(v, axis, ka, sa, pa):
+    win, st = [1, 1, 1], [1, 1, 1]
+    pd = [(0, 0), (0, 0), (0, 0)]
+    win[axis - 1], st[axis - 1], pd[axis - 1] = ka, sa, (pa, pa)
+    return nn.max_pool(v, window_shape=tuple(win), strides=tuple(st),
+                       padding=pd)
+
+
+def _max_pool3d_hybrid_impl(x, k, s, p):
+    return _chain_pool_stages(x, k, s, p)[-1]
+
+
+def _max_pool3d_hybrid_fwd(x, k, s, p):
+    stages = _chain_pool_stages(x, k, s, p)
+    return stages[-1], tuple(stages[:-1])
+
+
+def _max_pool3d_hybrid_bwd(k, s, p, stage_ins, g):
+    import jax
+    for axis in (3, 2, 1):
+        ka, sa, pa = k[axis - 1], s[axis - 1], p[axis - 1]
+        if ka == 1 and sa == 1 and pa == 0:
+            continue
+        # jax.vjp of the single-axis reduce_window: its VJP rule is
+        # select_and_scatter_add(g, x) — needs only the stage INPUT, so
+        # the forward reduce_window inside is dead code XLA eliminates
+        _, vjp = jax.vjp(
+            lambda v, a=axis, kk=ka, ss=sa, pp=pa: _rw1d(v, a, kk, ss, pp),
+            stage_ins[axis - 1])
+        (g,) = vjp(g)
+    return (g,)
+
+
+def _make_max_pool3d_hybrid():
+    """Maximum-chain FORWARD + rw-sep select_and_scatter BACKWARD.
+
+    The untested pairing from the round-2 measurements: the 'sep'
+    variant's forward fuses to bandwidth but its automatic VJP emits
+    unfused pads (dead end); rw-sep's backward is the best measured but
+    its forward reduce_windows run at ~2 TF/s (~15 ms of the b128 step).
+    This custom VJP takes the best half of each. Opt-in RSPNET_POOL=
+    hybrid until A/B'd on the real chip.
+
+    Tie routing in bwd = rw-sep's (select_and_scatter first-match);
+    forward values are exact maxes either way.
+    """
+    import jax
+
+    f = jax.custom_vjp(_max_pool3d_hybrid_impl, nondiff_argnums=(1, 2, 3))
+    f.defvjp(_max_pool3d_hybrid_fwd, _max_pool3d_hybrid_bwd)
+    return f
+
+
+_max_pool3d_hybrid = None
+
+
 def _max_pool3d_fm_impl(x, k, s, p):
     return _max_pool3d_separable_rw(x, k, s, p)
 
@@ -319,6 +480,19 @@ def max_pool3d(x: jnp.ndarray, kernel, strides, padding=0) -> jnp.ndarray:
     k = _triple(kernel)
     s = _triple(strides)
     choice = os.environ.get("RSPNET_POOL", "rw-sep")
+    if (choice in ("rw-sep", "hybrid") and k == s
+            and _triple(padding) == (0, 0, 0)):
+        # stride==window, no pad (S3D-G pool4): reshape + full-axis max —
+        # no windowed op forward OR backward. RSPNET_POOL=rw-sep-pure
+        # opts out for A/B.
+        return _max_pool3d_reshape(x, k)
+    if choice == "rw-sep-pure":
+        return _max_pool3d_separable_rw(x, k, s, _triple(padding))
+    if choice == "hybrid":
+        global _max_pool3d_hybrid
+        if _max_pool3d_hybrid is None:
+            _max_pool3d_hybrid = _make_max_pool3d_hybrid()
+        return _max_pool3d_hybrid(x, k, s, _triple(padding))
     if choice == "xla":
         return nn.max_pool(x, window_shape=k, strides=s,
                            padding=_pad3(padding))

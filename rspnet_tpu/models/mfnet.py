@@ -11,7 +11,7 @@ from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 
-from .common import _pad3, _triple, global_avg_pool, max_pool3d
+from .common import BatchNorm, _pad3, _triple, global_avg_pool, max_pool3d
 
 # the reference xavier-inits the whole net (mfnet_3d.py:151
 # initializer.xavier); flax's default is lecun_normal, so every conv
@@ -31,9 +31,9 @@ class BnAcConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype, axis_name=self.axis_name,
-                         name="bn")(x)
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
+                      dtype=self.dtype, axis_name=self.axis_name,
+                      name="bn")(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, kernel_size=_triple(self.kernel),
                     strides=_triple(self.strides),
@@ -103,8 +103,8 @@ class MFNet3D(nn.Module):
                             padding=[(1, 1), (2, 2), (2, 2)], use_bias=False,
                             kernel_init=_XAVIER,
                             dtype=self.dtype, name="stem_conv")
-        self.stem_bn = nn.BatchNorm(momentum=0.9, dtype=self.dtype,
-                                    axis_name=self.axis_name, name="stem_bn")
+        self.stem_bn = BatchNorm(momentum=0.9, dtype=self.dtype,
+                                 axis_name=self.axis_name, name="stem_bn")
         units = []
         num_in, num_mid = 16, 96
         num_out = 96
@@ -120,8 +120,8 @@ class MFNet3D(nn.Module):
                 num_mid *= 2
                 num_out *= 2
         self.units = units
-        self.tail_bn = nn.BatchNorm(momentum=0.9, dtype=self.dtype,
-                                    axis_name=self.axis_name, name="tail_bn")
+        self.tail_bn = BatchNorm(momentum=0.9, dtype=self.dtype,
+                                 axis_name=self.axis_name, name="tail_bn")
         if self.with_classifier:
             self.fc = nn.Dense(self.num_classes, kernel_init=_XAVIER,
                                dtype=self.dtype, name="fc")

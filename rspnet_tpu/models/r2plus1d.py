@@ -12,7 +12,7 @@ from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 
-from .common import ConvBN, _triple, global_avg_pool
+from .common import BatchNorm, ConvBN, _triple, global_avg_pool
 
 
 def intermediate_channels(kernel_size: Tuple[int, int, int],
@@ -56,8 +56,8 @@ class SpatioTemporalConv(nn.Module):
 
 
 def _bn(dtype, axis_name, name):
-    return nn.BatchNorm(momentum=0.9, dtype=dtype, axis_name=axis_name,
-                        name=name)
+    return BatchNorm(momentum=0.9, dtype=dtype, axis_name=axis_name,
+                     name=name)
 
 
 class ResBlock(nn.Module):

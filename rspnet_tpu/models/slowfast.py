@@ -43,7 +43,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .common import ConvBN, global_avg_pool, max_pool3d
+from .common import BatchNorm, ConvBN, global_avg_pool, max_pool3d
 
 _R50 = (3, 4, 6, 3)
 _R101 = (3, 4, 23, 3)
@@ -259,10 +259,10 @@ class NonLocal(nn.Module):
                                scale_init=nn.initializers.zeros,
                                dtype=self.dtype, name="bn")(out, train)
         else:
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               scale_init=nn.initializers.zeros,
-                               dtype=self.dtype, axis_name=self.axis_name,
-                               name="bn")(out)
+            out = BatchNorm(use_running_average=not train, momentum=0.9,
+                            scale_init=nn.initializers.zeros,
+                            dtype=self.dtype, axis_name=self.axis_name,
+                            name="bn")(out)
         return x + out
 
 

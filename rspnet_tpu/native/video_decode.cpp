@@ -42,6 +42,7 @@ struct Reader {
   // must never target the caller's tightly-packed numpy buffer directly
   uint8_t* rgb_data[4] = {nullptr, nullptr, nullptr, nullptr};
   int rgb_linesize[4] = {0, 0, 0, 0};
+  int sws_w = 0, sws_h = 0;  // output geometry the cached sws/rgb serve
   int stream_idx = -1;
   int width = 0;
   int height = 0;
@@ -163,22 +164,36 @@ double vr_fps(void* h) { return h ? ((Reader*)h)->fps : 0.0; }
 int vr_width(void* h) { return h ? ((Reader*)h)->width : 0; }
 int vr_height(void* h) { return h ? ((Reader*)h)->height : 0; }
 
-// Decode frames at `indices` (any order) into out [n, H, W, 3] RGB24.
-// Returns 0 on success.
-int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
-  Reader* r = (Reader*)h;
+// Decode frames at `indices` (any order) into out [n, out_h, out_w, 3]
+// RGB24, resized during the pixel-format conversion (ONE sws_scale pass does
+// both — decode-time scaling kills the per-frame host cv2 resize loop the
+// reference transcode recipe's variable widths otherwise force,
+// utils/transcode_dataset.py scale=w=-2:h=256). Returns 0 on success.
+static int get_batch_scaled_impl(Reader* r, const long* indices, int n,
+                                 unsigned char* out, int out_w, int out_h) {
   if (!r) return -1;
   if (!r->codec) {
     set_err(r, "reader not open");
     return -1;
   }
   if (n <= 0) return 0;
+  if (out_w <= 0 || out_h <= 0) {
+    set_err(r, "invalid output size");
+    return -1;
+  }
 
   std::vector<std::pair<int64_t, int>> want(n);  // (frame index, out slot)
   for (int i = 0; i < n; i++) want[i] = {indices[i], i};
   std::sort(want.begin(), want.end());
 
-  const size_t frame_bytes = (size_t)r->width * r->height * 3;
+  const size_t frame_bytes = (size_t)out_w * out_h * 3;
+  if (r->sws && (r->sws_w != out_w || r->sws_h != out_h)) {
+    // cached converter serves a different output geometry: rebuild
+    sws_freeContext(r->sws);
+    r->sws = nullptr;
+    if (r->rgb_data[0]) av_freep(&r->rgb_data[0]);
+    r->rgb_data[0] = nullptr;
+  }
   if (!r->sws) {
     // map deprecated full-range J formats to their modern equivalent and
     // carry the range explicitly; avoids swscale's per-reader log spam
@@ -195,13 +210,15 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
                                 full_range = true; break;
       default: break;
     }
-    r->sws = sws_getContext(r->width, r->height, src_fmt, r->width,
-                            r->height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
-                            nullptr, nullptr, nullptr);
+    r->sws = sws_getContext(r->width, r->height, src_fmt, out_w, out_h,
+                            AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+                            nullptr);
     if (!r->sws) {
       set_err(r, "sws_getContext failed");
       return -1;
     }
+    r->sws_w = out_w;
+    r->sws_h = out_h;
     if (full_range) {
       int* inv_table; int* table;
       int in_full, out_full, brightness, contrast, saturation;
@@ -214,8 +231,8 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
     }
   }
   if (!r->rgb_data[0]) {
-    int ret2 = av_image_alloc(r->rgb_data, r->rgb_linesize, r->width,
-                              r->height, AV_PIX_FMT_RGB24, 32);
+    int ret2 = av_image_alloc(r->rgb_data, r->rgb_linesize, out_w, out_h,
+                              AV_PIX_FMT_RGB24, 32);
     if (ret2 < 0) {
       set_err(r, "av_image_alloc", ret2);
       return -1;
@@ -286,10 +303,10 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
           sws_scale(r->sws, r->last_frame->data, r->last_frame->linesize,
                     0, r->height, r->rgb_data, r->rgb_linesize);
           uint8_t* dst0 = out + (size_t)want[0].second * frame_bytes;
-          for (int y = 0; y < r->height; y++) {
-            memcpy(dst0 + (size_t)y * r->width * 3,
+          for (int y = 0; y < out_h; y++) {
+            memcpy(dst0 + (size_t)y * out_w * 3,
                    r->rgb_data[0] + (size_t)y * r->rgb_linesize[0],
-                   (size_t)r->width * 3);
+                   (size_t)out_w * 3);
           }
           for (cursor = 1; cursor < want.size(); cursor++) {
             memcpy(out + (size_t)want[cursor].second * frame_bytes, dst0,
@@ -323,10 +340,10 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
                   r->rgb_data, r->rgb_linesize);
         while (cursor < want.size() && want[cursor].first <= idx) {
           uint8_t* dst = out + (size_t)want[cursor].second * frame_bytes;
-          for (int y = 0; y < r->height; y++) {
-            memcpy(dst + (size_t)y * r->width * 3,
+          for (int y = 0; y < out_h; y++) {
+            memcpy(dst + (size_t)y * out_w * 3,
                    r->rgb_data[0] + (size_t)y * r->rgb_linesize[0],
-                   (size_t)r->width * 3);
+                   (size_t)out_w * 3);
           }
           last_written = want[cursor].second;
           cursor++;
@@ -337,6 +354,17 @@ int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
     }
   }
   return 0;
+}
+
+int vr_get_batch(void* h, const long* indices, int n, unsigned char* out) {
+  Reader* r = (Reader*)h;
+  if (!r) return -1;
+  return get_batch_scaled_impl(r, indices, n, out, r->width, r->height);
+}
+
+int vr_get_batch_scaled(void* h, const long* indices, int n,
+                        unsigned char* out, int out_w, int out_h) {
+  return get_batch_scaled_impl((Reader*)h, indices, n, out, out_w, out_h);
 }
 
 void vr_close(void* h) {

@@ -61,6 +61,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vr_get_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte)]
+        lib.vr_get_batch_scaled.restype = ctypes.c_int
+        lib.vr_get_batch_scaled.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int]
         lib.vr_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -93,13 +97,24 @@ class RspVideoReader:
         self.width = int(lib.vr_width(self._h))
         self.height = int(lib.vr_height(self._h))
 
-    def get_batch(self, indices: Sequence[int]) -> np.ndarray:
+    def get_batch(self, indices: Sequence[int],
+                  out_wh: Optional[tuple] = None) -> np.ndarray:
+        """Decode frames; with ``out_wh=(w, h)`` the sws_scale pass that
+        already converts YUV->RGB also resizes (bilinear) — no extra cost,
+        and no per-frame host cv2 resize downstream."""
         idx = np.ascontiguousarray(indices, dtype=np.int64)
         n = len(idx)
-        out = np.empty((n, self.height, self.width, 3), np.uint8)
-        ret = self._lib.vr_get_batch(
-            self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), n,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        if out_wh is None:
+            out = np.empty((n, self.height, self.width, 3), np.uint8)
+            ret = self._lib.vr_get_batch(
+                self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        else:
+            w, h = int(out_wh[0]), int(out_wh[1])
+            out = np.empty((n, h, w, 3), np.uint8)
+            ret = self._lib.vr_get_batch_scaled(
+                self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), w, h)
         if ret != 0:
             err = self._lib.vr_error(self._h)
             raise IOError(f"decode failed for {self.path}: "

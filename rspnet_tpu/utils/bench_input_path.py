@@ -1,0 +1,82 @@
+"""Host input-path micro-bench: decode-time scaling vs per-frame cv2 loop.
+
+Builds a small MIXED-size MJPG video set (the geometry the reference
+transcode recipe produces: fixed height 256, variable widths —
+utils/transcode_dataset.py scale=w=-2:h=256) and times _load_one per
+sample for:
+  1. host-geometry (crop + per-frame cv2.resize on host, round-2 default
+     for variable-size data)
+  2. device_geometry + decode_size (VERDICT r3 #2: the native decoder's
+     sws_scale resizes during decode; geometry runs on-device)
+
+Run SOLO (a concurrent pytest/bench run skews the numbers on this 1-vCPU
+host):  python -m rspnet_tpu.utils.bench_input_path
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+class _Sample:
+    def __init__(self, p):
+        self.video_path = p
+        self.class_index = 0
+
+
+def _make_videos(d, sizes, frames=80):
+    import cv2
+    paths = []
+    for k, (w, h) in enumerate(sizes):
+        p = os.path.join(d, f"v{k}.avi")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 25, (w, h))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack([yy * 255 / h, xx * 255 / w,
+                         (xx + yy) * 127 / (h + w)], -1).astype(np.uint8)
+        for t in range(frames):
+            wr.write(np.roll(base, t * 3, axis=1))
+        wr.release()
+        paths.append(p)
+    return paths
+
+
+def main(n_iter: int = 32):
+    from ..data.pipeline import PipelineConfig, _load_one
+    from ..moco.builder import packed_frame_subset
+
+    d = tempfile.mkdtemp(prefix="rspnet_inpbench_")
+    sizes = [(342, 256), (454, 256), (320, 256), (342, 256)]
+    catalog = [_Sample(p) for p in _make_videos(d, sizes)]
+
+    common = dict(clip_len=32, frame_subset=packed_frame_subset(32, (2,)),
+                  num_clips=2, out_size=112, batch_size=1, train=True,
+                  num_workers=0, seed=0)
+    variants = {
+        "host_geometry_ms_per_sample": PipelineConfig(**common),
+        "devgeom_decode_size_ms_per_sample": PipelineConfig(
+            **common, device_geometry=True, decode_size=(128, 171)),
+    }
+    result = {}
+    for name, cfg in variants.items():
+        rng = np.random.default_rng(0)
+        _load_one(catalog, cfg, 0, rng)      # warm
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            _load_one(catalog, cfg, i % len(catalog), rng)
+        result[name] = round((time.perf_counter() - t0) / n_iter * 1e3, 1)
+    # shipped H2D bytes per sample (both clips)
+    result["host_geometry_mb_per_sample"] = round(
+        2 * 24 * 112 * 112 * 3 / 1e6, 2)
+    result["devgeom_decode_size_mb_per_sample"] = round(
+        2 * 24 * 128 * 171 * 3 / 1e6, 2)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

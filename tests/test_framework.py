@@ -272,3 +272,19 @@ def test_checkpoint_save_watchdog_propagates_fetch_errors(tmp_path,
     mgr = ckpt_mod.CheckpointManager(tmp_path)
     with pytest.raises(RuntimeError, match="fetch exploded"):
         mgr.save({"epoch": 1}, is_best=False, epoch=1, timeout=5.0)
+
+
+def test_metric_spool_chunks_and_preserves_order():
+    from rspnet_tpu.framework import MetricSpool
+    spool = MetricSpool(chunk=4)
+    for i in range(11):
+        spool.append(jnp.array([float(i), float(i) * 2]), n=i + 1)
+        assert len(spool._pending) < 4  # never exceeds the chunk bound
+    assert spool.last()[0] == 10.0
+    rows = spool.rows()
+    assert len(rows) == 11
+    for i, (row, n) in enumerate(rows):
+        assert row[0] == float(i) and row[1] == float(i) * 2
+        assert n == i + 1
+    # draining twice is stable
+    assert len(spool.rows()) == 11

@@ -130,12 +130,19 @@ def test_sub_batchnorm_matches_reference_semantics():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"]), mean,
                                rtol=1e-5, atol=1e-6)
+    # running_var stores the UNBIASED per-split variance (the reference's
+    # per-split torch BatchNorm3d does; n_el elements per split/channel)
+    n_el = xs.size // (k * c)
+    var_run = var * n_el / (n_el - 1)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["var"]),
+                               var_run, rtol=1e-5, atol=1e-6)
 
-    # eval: aggregated running stats
+    # eval: aggregated running stats (normalization uses the stored —
+    # unbiased — running vars, like the reference's aggregate_stats)
     y_eval = m.apply({"params": v["params"], "batch_stats":
                       mut["batch_stats"]}, x, train=False)
     agg_m = mean.mean(0)
-    agg_v = var.mean(0) + ((mean - agg_m) ** 2).mean(0)
+    agg_v = var_run.mean(0) + ((mean - agg_m) ** 2).mean(0)
     expect_eval = (np.asarray(x) - agg_m) / np.sqrt(agg_v + 1e-5)
     np.testing.assert_allclose(np.asarray(y_eval), expect_eval,
                                rtol=1e-4, atol=1e-5)
@@ -217,3 +224,77 @@ def test_tsm_consensus_is_frame_average():
     y = m.apply(v, x, train=False)
     assert y.shape == (2, 5)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_grouped_shift_matches_reference():
+    """temporal_shift_grouped == the reference's TemporalShift.shift_group
+    (temporal_shift.py:63-104), driven as the actual torch function."""
+    import importlib.util
+    import os
+
+    torch = pytest.importorskip("torch")
+    from rspnet_tpu.models.tsm import temporal_shift_grouped
+    from tests.conftest import REFERENCE_ROOT
+
+    path = os.path.join(REFERENCE_ROOT, "models/tsm/temporal_shift.py")
+    if not os.path.exists(path):
+        pytest.skip("reference repo not mounted")
+    spec = importlib.util.spec_from_file_location("ref_tshift", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    B, T, H, W, C = 2, 4, 3, 3, 12
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, H, W, C).astype(np.float32)
+    for groups, fold_div in ((2, 3), (3, 2), (4, 4)):
+        ours = np.asarray(temporal_shift_grouped(
+            jnp.asarray(x), fold_div=fold_div, groups=groups))
+        # reference shape: [n*t, c, h, w]
+        xt = torch.from_numpy(
+            x.transpose(0, 1, 4, 2, 3).reshape(B * T, C, H, W).copy())
+        ref = mod.TemporalShift.shift_group(
+            xt, n_segment=T, fold_div=fold_div, groups=groups)
+        ref = ref.numpy().reshape(B, T, C, H, W).transpose(0, 1, 3, 4, 2)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_grouped_shift_rejects_groups_1():
+    from rspnet_tpu.models.tsm import temporal_shift_grouped
+    with pytest.raises(ValueError):
+        temporal_shift_grouped(jnp.zeros((1, 2, 2, 2, 8)), groups=1)
+
+
+def test_tsm_non_local_identity_at_init_and_trains():
+    """Non-local blocks start as identity (zero-init W projection, like
+    the reference's constant_(0) init) and inject at the reference's
+    stage-2/3 positions; params exist and gradients flow."""
+    from rspnet_tpu.models.tsm import get_model_class
+
+    m_nl = get_model_class("resnet50", num_segments=4, non_local=True)(
+        num_classes=5)
+    m_plain = get_model_class("resnet50", num_segments=4)(num_classes=5)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 4, 32, 32, 3),
+                    jnp.float32)
+    v_nl = m_nl.init({"params": KEY}, x, train=False)
+    v_p = m_plain.init({"params": KEY}, x, train=False)
+    # reference injection sites for R50: layer2 blocks 0,2; layer3 0,2,4
+    nl_names = {k for k in v_nl["params"] if k.startswith("nl")}
+    assert nl_names == {"nl2_0", "nl2_2", "nl3_0", "nl3_2", "nl3_4"}
+    # zero-init output projection => same logits as the plain net when
+    # sharing the common params
+    common = {k: v_nl["params"][k] for k in v_p["params"]}
+    common_stats = {k: v_nl["batch_stats"][k] for k in v_p["batch_stats"]}
+    y_p = m_plain.apply({"params": common, "batch_stats": common_stats},
+                        x, train=False)
+    y_nl = m_nl.apply(v_nl, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_nl), np.asarray(y_p),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_tsm_grouped_shift_model_forward():
+    from rspnet_tpu.models.tsm import get_model_class
+    m = get_model_class("resnet18", num_segments=4, shift_groups=2)(
+        num_classes=5)
+    x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    v = m.init({"params": KEY}, x, train=False)
+    assert m.apply(v, x, train=False).shape == (1, 5)

@@ -167,3 +167,99 @@ def test_pipeline_uses_native_backend(native, test_video):
     r = open_video(test_video)
     assert type(r).__name__ == "RspVideoReader"
     r.close()
+
+
+# -- decode-time scaling (VERDICT r2 #2) -------------------------------------
+
+def test_scaled_decode_shape_and_content(native, test_video):
+    r = native.RspVideoReader(test_video)
+    idx = [5, 50, 0, 20]
+    batch = r.get_batch(idx, out_wh=(32, 24))
+    assert batch.shape == (4, 24, 32, 3)
+    # green ramp survives the resize (content, not garbage)
+    for i, t in enumerate(idx):
+        assert abs(float(batch[i, :, :, 1].mean()) - t * 4) < 10
+    r.close()
+
+
+def test_scaled_decode_matches_cv2_resize(native, odd_width_videos):
+    """sws bilinear downscale vs decode-then-cv2-resize: same image up to
+    resampler differences (both bilinear, different tap placement)."""
+    r = native.RspVideoReader(odd_width_videos[0])
+    idx = [0, 13, 40]
+    scaled = r.get_batch(idx, out_wh=(85, 64)).astype(int)
+    full = r.get_batch(idx)
+    r.close()
+    ref = np.stack([cv2.resize(f, (85, 64), interpolation=cv2.INTER_LINEAR)
+                    for f in full]).astype(int)
+    assert scaled.shape == ref.shape
+    assert np.abs(scaled - ref).mean() < 6
+    assert np.abs(scaled.mean(axis=(1, 2)) - ref.mean(axis=(1, 2))).max() < 3
+
+
+def test_scaled_decode_size_switch_rebuilds_converter(native, test_video):
+    """Alternating output sizes on ONE reader exercises the sws/rgb-buffer
+    cache invalidation (stale geometry would corrupt or crash)."""
+    r = native.RspVideoReader(test_video)
+    for w, h in [(32, 24), (64, 48), (16, 12), (64, 48)]:
+        b = r.get_batch([0, 30], out_wh=(w, h))
+        assert b.shape == (2, h, w, 3)
+        assert abs(float(b[1, :, :, 1].mean()) - 120) < 12
+    r.close()
+
+
+def test_concurrent_scaled_decode_threads(native, odd_width_videos):
+    """Thread-safety regression extended to the scaled path: odd OUTPUT
+    width (85 -> 255-byte rows) through the aligned staging buffer."""
+    import threading
+
+    errors = []
+
+    def work(i):
+        try:
+            for _ in range(3):
+                r = native.RspVideoReader(odd_width_videos[i % 4])
+                batch = r.get_batch(list(range(0, 60, 2)), out_wh=(85, 64))
+                assert batch.shape == (30, 64, 85, 3)
+                assert abs(float(batch[:, :, :, 2].mean()) - (i % 4) * 50) < 8
+                r.close()
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+
+def test_pipeline_decode_size_mixes_video_sizes(native, tmp_path):
+    """device_geometry + decode_size on a MIXED-size dataset (the case the
+    reference transcode recipe forces: scale=w=-2:h=256 -> variable
+    widths). Without decode_size the stack raises; with it every clip
+    lands at one geometry during decode."""
+    from rspnet_tpu.data.pipeline import PipelineConfig, VideoDataLoader
+
+    class Sample:
+        def __init__(self, p):
+            self.video_path = p
+            self.class_index = 0
+
+    paths = []
+    for k, (w, h) in enumerate([(64, 48), (96, 48), (80, 64), (64, 48)]):
+        p = str(tmp_path / f"m{k}.avi")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 25, (w, h))
+        for t in range(40):
+            f = np.full((h, w, 3), t * 5, np.uint8)
+            wr.write(f[..., ::-1])
+        wr.release()
+        paths.append(p)
+    catalog = [Sample(p) for p in paths]
+
+    cfg = PipelineConfig(clip_len=4, out_size=32, batch_size=4, train=True,
+                         num_workers=2, device_geometry=True,
+                         decode_size=(48, 64), seed=0)
+    loader = VideoDataLoader(catalog, cfg)
+    batch = next(iter(loader))
+    assert batch["clips"][0].shape == (4, 4, 48, 64, 3)

@@ -85,3 +85,101 @@ def test_pretrain_cli_packed_device_geometry(tmp_path):
         'temporal_transforms+: {_size: 8}}',
     ])
     assert (exp / "checkpoint.pth.tar").exists()
+
+
+# -- exact multi-speed mode (VERDICT r2 missing-#4) ---------------------------
+
+def test_exact_union_subset_values():
+    # each speed s needs range(T//s) ∪ range(0,T,s)[:T//s]
+    sub = packed_frame_subset(32, (4, 2), exact=True)
+    want = (set(range(8)) | set(range(0, 32, 4))          # s=4: T_real=8
+            | set(range(16)) | set(range(0, 32, 2)))      # s=2: T_real=16
+    assert list(sub) == sorted(want)
+    # the PINNED (non-exact) union is smaller: its slow window is only
+    # range(T//max) = range(8)
+    pinned = packed_frame_subset(32, (4, 2))
+    assert set(pinned) < set(sub)
+
+
+def test_speed_branch_gather_matches_reference_lengths():
+    """Each branch of the exact mode samples at T_real = T//s like the
+    reference (builder:431-434), and packed addressing of the exact union
+    is bit-identical to the full-frame gather."""
+    from rspnet_tpu.moco.builder import speed_branch_config
+
+    T, B = 32, 8
+    rng = np.random.default_rng(1)
+    im_q = rng.random((B, T, 4, 4, 3), np.float32)
+    im_k = rng.random((B, T, 4, 4, 3), np.float32)
+    base = MoCoConfig(dim=8, k=64, diff_speed=(4, 2), packed_frames=True,
+                      t_load=T)
+    sub = packed_frame_subset(T, (4, 2), exact=True)
+    for s in (4, 2):
+        branch = speed_branch_config(base, s)
+        assert branch.diff_speed == (s,)
+        assert branch.pack_speeds == (4, 2)
+        key = jax.random.PRNGKey(s)
+        q_p, k_p, n_p = diff_speed_gather(im_q[:, sub], im_k[:, sub], key,
+                                          branch)
+        assert q_p.shape[1] == T // s            # reference T_real
+        full = MoCoConfig(dim=8, k=64, diff_speed=(s,))
+        q_f, k_f, n_f = diff_speed_gather(im_q, im_k, key, full)
+        np.testing.assert_array_equal(np.asarray(q_p), np.asarray(q_f))
+        np.testing.assert_array_equal(np.asarray(k_p), np.asarray(k_f))
+        np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_f))
+
+
+def test_variable_speed_train_steps_share_state():
+    """One MoCoState flows through per-speed compiled steps (8-dev mesh);
+    each branch runs its own clip length; loss finite, queue advances."""
+    import jax.numpy as jnp
+    import optax
+
+    from rspnet_tpu.models import get_model_class
+    from rspnet_tpu.moco import (MultiTaskWrapper, init_moco_state)
+    from rspnet_tpu.moco.builder import (MoCoConfig,
+                                         make_variable_speed_train_steps)
+    from rspnet_tpu.parallel import create_mesh, replicate_to_mesh, \
+        shard_batch
+
+    T, B, S = 8, 8, 16
+    cfg = MoCoConfig(dim=8, k=16, diff_speed=(4, 2))
+    model = MultiTaskWrapper(encoder_factory=get_model_class("resnet18"),
+                             num_classes=8, finetune=False,
+                             fc_type="linear", axis_name="data")
+    opt = optax.sgd(0.01, momentum=0.9)
+    mesh = create_mesh()
+    state = init_moco_state(model, cfg, opt, jax.random.PRNGKey(0),
+                            (1, T // 4, S, S, 3))
+    state = replicate_to_mesh(state, mesh)
+    steps = make_variable_speed_train_steps(model, opt, cfg, mesh)
+    assert set(steps) == {4, 2}
+    rng = np.random.default_rng(2)
+    with mesh:
+        for i, s in enumerate([2, 4, 2]):
+            im_q = shard_batch(jnp.asarray(
+                rng.random((B, T, S, S, 3), np.float32)), mesh)
+            im_k = shard_batch(jnp.asarray(
+                rng.random((B, T, S, S, 3), np.float32)), mesh)
+            state, metrics = steps[s](state, im_q, im_k,
+                                      jax.random.PRNGKey(10 + i))
+            assert np.isfinite(float(metrics["loss"]))
+    assert int(state.queue_ptr) == (3 * B) % 16
+
+
+def test_pretrain_cli_exact_multi_speed(tmp_path):
+    """End-to-end: diff_speed [4,2] trains via per-speed compiled steps
+    (engine exact mode) with packed exact-union loading."""
+    import pretrain
+    exp = tmp_path / "exp_pre_ms"
+    pretrain.main([
+        "-c", str(REPO / "config/pretrain/resnet18.jsonnet"),
+        "-e", str(exp), "-d", "--seed", "1",
+        "-x", '{dataset: {name: "synthetic", num_samples: 8, '
+        'num_classes: 4, num_frames: 48, height: 48, width: 64}, '
+        'batch_size: 1, num_workers: 2, device_geometry: true, '
+        'spatial_transforms+: {size: 32}, '
+        'moco+: {k: 32, dim: 8, packed_frames: true, diff_speed: [4, 2]}, '
+        'temporal_transforms+: {_size: 8}}',
+    ])
+    assert (exp / "checkpoint.pth.tar").exists()

@@ -12,11 +12,14 @@ import numpy as np
 import pytest
 
 from rspnet_tpu.models.common import (_make_max_pool3d_fm,
+                                      _make_max_pool3d_hybrid,
+                                      _max_pool3d_reshape,
                                       _max_pool3d_separable,
                                       _max_pool3d_separable_rw, _pad3,
                                       _triple, max_pool3d)
 
 _fm = _make_max_pool3d_fm()
+_hybrid = _make_max_pool3d_hybrid()
 
 # (input [T,H,W,C], kernel, stride, pad) — every geometry used by the zoo
 CASES = [
@@ -40,10 +43,15 @@ def _ref_pool(x, k, s, p):
 def test_forward_equivalence(ishape, k, s, p):
     x = jax.random.normal(jax.random.PRNGKey(0), (2, *ishape), jnp.float32)
     ref = _ref_pool(x, k, s, p)
-    for impl in (_max_pool3d_separable, _max_pool3d_separable_rw, _fm):
+    for impl in (_max_pool3d_separable, _max_pool3d_separable_rw, _fm,
+                 _hybrid):
         sep = impl(x, _triple(k), _triple(s), _triple(p))
         assert ref.shape == sep.shape
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(sep))
+    if _triple(k) == _triple(s) and _triple(p) == (0, 0, 0):
+        rs = _max_pool3d_reshape(x, _triple(k))
+        assert ref.shape == rs.shape
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(rs))
 
 
 @pytest.mark.parametrize("ishape,k,s,p", CASES)
@@ -54,10 +62,15 @@ def test_gradient_equivalence(ishape, k, s, p):
     n = int(np.prod((2, *ishape)))
     x = jnp.asarray(rng.permutation(n).reshape((2, *ishape)), jnp.float32)
     g_ref = jax.grad(lambda x: jnp.sum(_ref_pool(x, k, s, p)))(x)
-    for impl in (_max_pool3d_separable, _max_pool3d_separable_rw, _fm):
+    for impl in (_max_pool3d_separable, _max_pool3d_separable_rw, _fm,
+                 _hybrid):
         g_sep = jax.grad(lambda x: jnp.sum(
             impl(x, _triple(k), _triple(s), _triple(p))))(x)
         np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_sep))
+    if _triple(k) == _triple(s) and _triple(p) == (0, 0, 0):
+        g_rs = jax.grad(lambda x: jnp.sum(
+            _max_pool3d_reshape(x, _triple(k))))(x)
+        np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_rs))
 
 
 def _pallas_supported_cases():
@@ -141,3 +154,40 @@ def test_public_entry_uses_separable(monkeypatch):
     monkeypatch.setenv("RSPNET_POOL", "xla")
     out2 = max_pool3d(x, 3, 2, 1)
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
+
+
+def test_default_dispatch_reshape_fast_path(monkeypatch):
+    """stride==window, no-pad pools (s3dg pool4, c3d pools) take the
+    reshape+max path by default; RSPNET_POOL=rw-sep-pure opts out; both
+    bit-equal to the XLA pool (fwd and grad on unique values)."""
+    rng = np.random.RandomState(2)
+    shape = (1, 4, 8, 8, 3)
+    x = jnp.asarray(rng.permutation(int(np.prod(shape))).reshape(shape),
+                    jnp.float32)
+    ref = _ref_pool(x, 2, 2, 0)
+    g_ref = jax.grad(lambda v: jnp.sum(_ref_pool(v, 2, 2, 0)))(x)
+    for env in (None, "rw-sep-pure", "hybrid"):
+        if env is None:
+            monkeypatch.delenv("RSPNET_POOL", raising=False)
+        else:
+            monkeypatch.setenv("RSPNET_POOL", env)
+        out = max_pool3d(x, 2, 2, 0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        g = jax.grad(lambda v: jnp.sum(max_pool3d(v, 2, 2, 0)))(x)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+
+
+def test_hybrid_dispatch_on_windowed_pool(monkeypatch):
+    monkeypatch.setenv("RSPNET_POOL", "hybrid")
+    rng = np.random.RandomState(3)
+    shape = (1, 4, 9, 9, 2)
+    x = jnp.asarray(rng.permutation(int(np.prod(shape))).reshape(shape),
+                    jnp.float32)
+    ref = _ref_pool(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+    out = max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    g_ref = jax.grad(lambda v: jnp.sum(
+        _ref_pool(v, (1, 3, 3), (1, 2, 2), (0, 1, 1))))(x)
+    g = jax.grad(lambda v: jnp.sum(
+        max_pool3d(v, (1, 3, 3), (1, 2, 2), (0, 1, 1))))(x)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
