@@ -13,6 +13,8 @@ from rspnet_tpu.framework import (
     scale_learning_rate,
 )
 
+REPO = Path(__file__).resolve().parent.parent
+
 
 # -- arguments ---------------------------------------------------------------
 
@@ -288,3 +290,35 @@ def test_metric_spool_chunks_and_preserves_order():
         assert n == i + 1
     # draining twice is stable
     assert len(spool.rows()) == 11
+
+
+def test_pretrain_epoch_loop_survives_wedged_checkpoint_save(
+        tmp_path, monkeypatch):
+    """Engine-level VERDICT r2 #9 acceptance: the 2026-08-17 tunnel wedge
+    hung a checkpoint save mid-run and killed a 30-epoch pretrain. With
+    the save watchdog the full pretrain CLI must complete its epochs even
+    when EVERY device->host checkpoint fetch hangs forever."""
+    import threading
+
+    import pretrain
+    from rspnet_tpu.framework import checkpoint as ckpt_mod
+
+    def wedged_fetch(state):
+        threading.Event().wait()  # never returns
+
+    monkeypatch.setattr(ckpt_mod, "_to_numpy_tree", wedged_fetch)
+    monkeypatch.setattr(ckpt_mod, "_SAVE_TIMEOUT_S", 0.5)
+    exp = tmp_path / "exp_wedge"
+    pretrain.main([
+        "-c", str(REPO / "config/pretrain/resnet18.jsonnet"),
+        "-e", str(exp), "-d", "--seed", "1",
+        "-x", '{dataset: {name: "synthetic", num_samples: 8, '
+        'num_classes: 4, num_frames: 48, height: 48, width: 64}, '
+        'batch_size: 1, num_workers: 2, spatial_transforms+: {size: 32}, '
+        'moco+: {k: 16, dim: 8}, temporal_transforms+: {_size: 8}}',
+    ])
+    # training finished (run dir + logs exist) but no checkpoint could be
+    # written — the wedge skipped the save instead of hanging the run
+    assert not (exp / "checkpoint.pth.tar").exists()
+    run_dir = next(exp.glob("run_0_*"))
+    assert (run_dir / "experiment.log").exists()
