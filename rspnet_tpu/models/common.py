@@ -480,13 +480,14 @@ def max_pool3d(x: jnp.ndarray, kernel, strides, padding=0) -> jnp.ndarray:
     k = _triple(kernel)
     s = _triple(strides)
     choice = os.environ.get("RSPNET_POOL", "rw-sep")
-    if (choice in ("rw-sep", "hybrid") and k == s
+    if (choice in ("rw-sep-reshape", "hybrid") and k == s
             and _triple(padding) == (0, 0, 0)):
         # stride==window, no pad (S3D-G pool4): reshape + full-axis max —
-        # no windowed op forward OR backward. RSPNET_POOL=rw-sep-pure
-        # opts out for A/B.
+        # no windowed op forward OR backward. Measured a WASH on the real
+        # chip (2026-08-18 interleaved A/B, 2 reps: 1204.0 vs 1208.8
+        # clips/s/chip for plain rw-sep) so it is opt-in, not default.
         return _max_pool3d_reshape(x, k)
-    if choice == "rw-sep-pure":
+    if choice == "rw-sep-pure":  # legacy alias of the default
         return _max_pool3d_separable_rw(x, k, s, _triple(padding))
     if choice == "hybrid":
         global _max_pool3d_hybrid

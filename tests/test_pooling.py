@@ -157,16 +157,17 @@ def test_public_entry_uses_separable(monkeypatch):
 
 
 def test_default_dispatch_reshape_fast_path(monkeypatch):
-    """stride==window, no-pad pools (s3dg pool4, c3d pools) take the
-    reshape+max path by default; RSPNET_POOL=rw-sep-pure opts out; both
-    bit-equal to the XLA pool (fwd and grad on unique values)."""
+    """stride==window, no-pad pools (s3dg pool4, c3d pools): the
+    reshape+max path (opt-in RSPNET_POOL=rw-sep-reshape; measured a wash
+    on-chip vs the rw-sep default, 2026-08-18) and every other dispatch
+    stay bit-equal to the XLA pool (fwd and grad on unique values)."""
     rng = np.random.RandomState(2)
     shape = (1, 4, 8, 8, 3)
     x = jnp.asarray(rng.permutation(int(np.prod(shape))).reshape(shape),
                     jnp.float32)
     ref = _ref_pool(x, 2, 2, 0)
     g_ref = jax.grad(lambda v: jnp.sum(_ref_pool(v, 2, 2, 0)))(x)
-    for env in (None, "rw-sep-pure", "hybrid"):
+    for env in (None, "rw-sep-pure", "rw-sep-reshape", "hybrid"):
         if env is None:
             monkeypatch.delenv("RSPNET_POOL", raising=False)
         else:
