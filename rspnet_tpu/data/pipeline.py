@@ -371,7 +371,19 @@ def build_loader(cfg_tree, split: str, *, vid: bool = False,
         pass
 
     catalog = catalog or build_catalog(cfg_tree, split)
-    return VideoDataLoader(catalog, cfg)
+    loader = VideoDataLoader(catalog, cfg)
+    # cache_device: true caches every split; "train" only the train split
+    # (an n_crop-expanded final validate can exceed the HBM budget).
+    # One-time H2D materialization, then every epoch is served from HBM
+    # (batch-axis take) — see data/device_cache.py for semantics.
+    cache = cfg_tree.get("cache_device", False)
+    if cache is True or (cache == "train" and train):
+        from .device_cache import DeviceCachedLoader
+        loader = DeviceCachedLoader(loader)
+    elif cache not in (False, None, "train"):
+        raise ValueError(f"cache_device must be true/false/'train', "
+                         f"got {cache!r}")
+    return loader
 
 
 def prefetch_iterator(iterable, depth: int = 2):

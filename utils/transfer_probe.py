@@ -33,6 +33,29 @@ _DATA = ('dataset: {name: "synthetic", num_samples: 512, num_classes: 10, '
          'num_frames: 64, class_mode: "speed"}, device_geometry: true, '
          'num_workers: 2')
 
+# per-arch configs + probe-scale overrides. s3dg's shipped configs train
+# at 224^2 x 64 frames; the probe doesn't need that resolution, and the
+# small eval n_crop keeps a cache_device final-validate inside the HBM
+# budget (device_cache.py).
+_ARCHES = {
+    "resnet18": {
+        "pretrain": "config/pretrain/resnet18.jsonnet",
+        "finetune": "config/finetune/ucf101_resnet18.jsonnet",
+        "pre_extra": "",
+        "probe_temporal": "{frame_rate: null}",
+        "probe_extra": "",
+    },
+    "s3dg": {
+        "pretrain": "config/pretrain/s3dg.jsonnet",
+        "finetune": "config/finetune/ucf101_s3dg.jsonnet",
+        "pre_extra": ", spatial_transforms+: {size: 112}",
+        "probe_temporal": ("{frame_rate: null, size: 32, "
+                           "validate: {stride: 1, n_crop: 1, "
+                           "final_n_crop: 2}}"),
+        "probe_extra": ", spatial_transforms+: {size: 112}",
+    },
+}
+
 
 def run(cmd):
     print("+", " ".join(cmd), file=sys.stderr, flush=True)
@@ -62,31 +85,39 @@ def main(argv=None):
                     help="MoCo pretrain epochs")
     ap.add_argument("--probe-epochs", type=int, default=12)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--arch", choices=sorted(_ARCHES), default="resnet18")
+    ap.add_argument("--cache-device", action="store_true",
+                    help="serve every epoch from an HBM-resident cache "
+                    "(data/device_cache.py) — bypasses the host link")
     args = ap.parse_args(argv)
     out = args.out
     out.mkdir(parents=True, exist_ok=True)
+    arch = _ARCHES[args.arch]
+    data = _DATA + (", cache_device: true" if args.cache_device else "")
 
     pre = out / "moco"
     run([sys.executable, "pretrain.py",
-         "-c", "config/pretrain/resnet18.jsonnet",
+         "-c", arch["pretrain"],
          "-e", str(pre), "--seed", str(args.seed),
-         "-x", "{%s, batch_size: 32, num_epochs: %d, "
-         "moco+: {k: 4096, packed_frames: true}}" % (_DATA, args.epochs)])
+         "-x", "{%s%s, batch_size: 32, num_epochs: %d, "
+         "moco+: {k: 4096, packed_frames: true}}"
+         % (data, arch["pre_extra"], args.epochs)])
 
     # measured gotchas (CLAUDE.md, round 2): probe lr 0.05+ diverges on
     # the unnormalized GAP features (use 0.01 + --no-scale-lr), and
     # model_best-by-loss lands on epoch 1 (queue fills -> loss rises,
     # classic MoCo artifact) so probe from the FINAL checkpoint.
-    probe_x = ("{%s, batch_size: 32, num_epochs: %d, only_train_fc: true, "
+    probe_x = ("{%s%s, batch_size: 32, num_epochs: %d, only_train_fc: true, "
                "optimizer+: {lr: 0.01}, "
-               "temporal_transforms+: {frame_rate: null}}"
-               % (_DATA, args.probe_epochs))
+               "temporal_transforms+: %s}"
+               % (data, arch["probe_extra"], args.probe_epochs,
+                  arch["probe_temporal"]))
     accs = {}
     for name, extra in (("moco", ["--mc", str(pre / "checkpoint.pth.tar")]),
                         ("random", [])):
         exp = out / f"probe_{name}"
         run([sys.executable, "finetune.py",
-             "-c", "config/finetune/ucf101_resnet18.jsonnet",
+             "-c", arch["finetune"],
              "-e", str(exp), "--seed", str(args.seed), "--no-scale-lr",
              "-x", probe_x] + extra)
         accs[name] = final_acc(exp)
