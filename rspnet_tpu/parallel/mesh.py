@@ -58,6 +58,27 @@ def create_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def create_mesh_2d(data: int, model: int,
+                   axes: tuple = ("data", "model")) -> Mesh:
+    """2-D ``data x model`` mesh (SURVEY §2.8's optional second axis —
+    used by the K-sharded MoCo queue, moco/sharded_queue.py).
+
+    Devices are taken in the same flat order as create_mesh and reshaped
+    row-major, so the flat replica index ``d * model + m`` matches the
+    1-D device order (the equality tests in tests/test_sharded_queue.py
+    rely on this for identical per-shard RNG folds).
+    """
+    n = data * model
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(
+            f"requested a {data}x{model} mesh but only {len(devices)} JAX "
+            f"device(s) exist (platform={devices[0].platform}); set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} "
+            f"with JAX_PLATFORMS=cpu to emulate")
+    return Mesh(np.array(devices[:n]).reshape(data, model), axes)
+
+
 def mesh_for_args(args, axis: str = "data") -> Mesh:
     """Mesh honoring --ws/--world-size: min(ws, available devices)
     (the reference spawns exactly world_size workers, pretrain.py:336;
