@@ -27,6 +27,12 @@ pretrain.py:154):
    dominated by the post-burst flow-controlled regime a long training
    run would live in — so this ratio can exceed 1.0 and is context, not
    a utilization fraction.
+2b. **cached e2e**: the engine loop fed from the device-resident dataset
+   cache (data/device_cache.py — decode + H2D once, epochs from HBM):
+   per-step host work is only augment-param sampling + dispatch, so
+   `e2e_cached_clips_per_sec_per_chip` certifies the engine software
+   decoupled from the tunnel (`e2e_cached_vs_step` ~ 1.0 means the loop
+   can feed its own step at device rate).
 3. **h2d probe**: true aggregate host->device bandwidth (K puts ordered
    through a device-side reduction of the last buffer, fetched), plus the
    relay's local-buffering enqueue burst rate for context. A real TPU
@@ -261,6 +267,57 @@ def main():
     result["e2e_clips_per_sec_per_chip"] = round(e2e_per_chip, 2)
     result["e2e_vs_baseline"] = round(
         e2e_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3)
+
+    # ---- phase 2b: engine loop fed from the device-resident cache ------------
+    # The phase-2 number certifies the tunnel (the software sits at the
+    # relay's H2D ceiling, e2e_vs_sustained_input_bound ~= 1); this phase
+    # certifies the ENGINE LOOP itself: decode + H2D once into HBM
+    # (data/device_cache.py), then every epoch is a batch-axis gather, so
+    # per-step host work is only augment-param sampling + dispatch. On a
+    # real TPU host (PCIe, not a tunnel) the live pipeline looks like this.
+    from rspnet_tpu.data.device_cache import DeviceCachedLoader
+
+    n_cache_batches = 2   # 2*b_global samples: fits HBM + one slow H2D pass
+    cache_catalog = Synthetic(
+        num_samples=n_cache_batches * b_global, num_classes=10,
+        num_frames=64, height=DH, width=DW)
+    t_build = time.perf_counter()
+    cache_loader = DeviceCachedLoader(
+        VideoDataLoader(cache_catalog, loader_cfg), mesh=mesh)
+    result["cache_build_sec"] = round(time.perf_counter() - t_build, 1)
+
+    with mesh:
+        key = jax.random.PRNGKey(200)
+        n_warm_c, n_meas_c = 2, 16
+        t_start = None
+        done = 0
+        i = 0
+        for ep in range(100):
+            cache_loader.set_epoch(ep)
+            stop = False
+            for batch in cache_loader:
+                clip_q = device_batch(batch["clips"][0])
+                clip_k = device_batch(batch["clips"][1])
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, clip_q, clip_k, sub)
+                i += 1
+                if i == n_warm_c:
+                    fetch(metrics["loss"])   # real sync (see phase 1 note)
+                    t_start = time.perf_counter()
+                elif i > n_warm_c:
+                    done += b_global
+                if i >= n_warm_c + n_meas_c:
+                    stop = True
+                    break
+            if stop:
+                break
+        fetch(metrics["loss"])               # dependent fetch = completion
+        cached_dt = time.perf_counter() - t_start - rtt
+
+    cached_per_chip = done / cached_dt / n_chips
+    result["e2e_cached_clips_per_sec_per_chip"] = round(cached_per_chip, 2)
+    # the honest "can the engine loop feed its own step" fraction
+    result["e2e_cached_vs_step"] = round(cached_per_chip / step_per_chip, 3)
 
     # ---- phase 3: H2D bandwidth probe ----------------------------------------
     # device_put is asynchronous and block_until_ready does not wait on this

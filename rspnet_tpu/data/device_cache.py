@@ -57,9 +57,28 @@ class DeviceCachedLoader:
         self.epoch = 0
 
         inner.set_epoch(0)
+        limit_mb = float(os.environ.get("RSPNET_CACHE_LIMIT_MB", "6144"))
         clips: List[List[np.ndarray]] = [[] for _ in range(inner.cfg.num_clips)]
         labels, masks = [], []
+        first = True
         for batch in inner:
+            if first:
+                # preflight: estimate the full cache from the FIRST batch
+                # before paying the whole decode pass (a too-big dataset
+                # used to fail only after minutes-hours of decoding).
+                # Per-sample bytes are uniform (static shapes).
+                b0 = batch["labels"].shape[0]
+                per_sample = sum(np.asarray(a).nbytes
+                                 for a in batch["clips"]) / max(b0, 1)
+                est_mb = per_sample * inner.num_samples / 1e6
+                if est_mb > limit_mb:
+                    raise ValueError(
+                        f"cache_device preflight: ~{est_mb:.0f} MB estimated "
+                        f"({inner.num_samples} samples x "
+                        f"{per_sample / 1e6:.1f} MB) > limit {limit_mb:.0f} "
+                        f"MB (RSPNET_CACHE_LIMIT_MB); refusing before the "
+                        f"full decode pass")
+                first = False
             for c, arr in enumerate(batch["clips"]):
                 clips[c].append(np.asarray(arr))
             labels.append(np.asarray(batch["labels"]))
@@ -71,7 +90,6 @@ class DeviceCachedLoader:
 
         host = [np.concatenate(c) for c in clips]
         total_mb = sum(a.nbytes for a in host) / 1e6
-        limit_mb = float(os.environ.get("RSPNET_CACHE_LIMIT_MB", "6144"))
         if total_mb > limit_mb:
             raise ValueError(
                 f"cache_device: dataset is {total_mb:.0f} MB > limit "

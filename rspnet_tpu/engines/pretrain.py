@@ -25,11 +25,13 @@ from ..config import ConfigTree
 from ..framework import CheckpointManager, MeterGroup, MetricSpool, load_state
 from ..framework.environment import scale_learning_rate
 from ..framework.lr_schedule import build_optimizer, build_scheduler, set_opt_lr
-from ..moco import (MoCoState, build_moco_model, init_moco_state,
-                    make_sharded_eval_step, make_sharded_train_step)
+from ..moco import (MoCoState, build_moco_model, gather_queue_2d,
+                    init_moco_state, make_sharded_eval_step,
+                    make_sharded_eval_step_2d, make_sharded_train_step,
+                    make_sharded_train_step_2d, shard_moco_state_2d)
 from ..ops.augment import augment_batch, sample_train_params
 from .normalization import dataset_normalization
-from ..parallel import (fetch_scalar, mesh_for_args,
+from ..parallel import (fetch_scalar, mesh_for_config,
                         replicate_to_mesh, shard_batch)
 from ..utils.moco import replace_moco_k_in_config
 
@@ -45,20 +47,28 @@ class PretrainEngine:
         self.cfg = cfg
         self.debug = bool(getattr(args, "debug", False))
 
-        self.mesh = mesh_for_args(args)
-        self.world_size = self.mesh.shape["data"]
-        logger.info("Mesh: %d device(s) on %s", self.world_size,
-                    jax.devices()[0].platform)
+        # config `parallel: {data: D, model: M}` selects the 2-D data x
+        # model layout (K-sharded queue, moco/sharded_queue.py); default is
+        # the 1-D data mesh
+        self.mesh = mesh_for_config(cfg, args)
+        self.model_parallel = dict(self.mesh.shape).get("model", 1)
+        self.is_2d = self.model_parallel > 1
+        self.batch_axes = ("data", "model") if self.is_2d else "data"
+        self.world_size = self.mesh.devices.size
+        logger.info("Mesh: %d device(s) on %s%s", self.world_size,
+                    jax.devices()[0].platform,
+                    f" (2-D {dict(self.mesh.shape)})" if self.is_2d else "")
 
         # global batch = per-replica batch * replicas (reference batch_size
-        # is per-GPU)
+        # is per-GPU; the batch shards over BOTH axes of a 2-D mesh)
         self.batch_size = cfg.get_int("batch_size")
         self.global_batch = self.batch_size * self.world_size
-        replace_moco_k_in_config(cfg, self.global_batch)
+        replace_moco_k_in_config(cfg, self.global_batch,
+                                 model_parallel=self.model_parallel)
 
         self.model, self.moco_cfg = build_moco_model(
             cfg, dtype=jnp.bfloat16 if self._on_tpu() else None,
-            axis_name="data")
+            axis_name=self.batch_axes)
         self.arch = cfg.get_string("model.arch")
 
         # lr scaling (reference: framework/utils/environment.py:13-16)
@@ -93,7 +103,7 @@ class PretrainEngine:
             self.model, self.moco_cfg, self.optimizer,
             jax.random.PRNGKey(cfg.get_int("seed", 0)),
             (1, t_real, self.size, self.size, 3))
-        self.state = replicate_to_mesh(self.state, self.mesh)
+        self.state = self._place_state(self.state)
 
         ds = tuple(self.moco_cfg.diff_speed or ())
         if len(ds) > 1:
@@ -102,12 +112,20 @@ class PretrainEngine:
             # one compiled step per speed, host draws the speed. The draw
             # is seeded WITHOUT process_index: it must be mesh-uniform
             # (every host runs the same program for a given step).
-            from ..moco.builder import make_variable_speed_train_steps
-            self._speed_steps = make_variable_speed_train_steps(
+            if self.is_2d:
+                from ..moco.sharded_queue import \
+                    make_variable_speed_train_steps_2d as make_speed_steps
+            else:
+                from ..moco.builder import \
+                    make_variable_speed_train_steps as make_speed_steps
+            self._speed_steps = make_speed_steps(
                 self.model, self.optimizer, self.moco_cfg, self.mesh)
             self._speed_rng = np.random.default_rng(
                 cfg.get_int("seed", 0) + 0x5BEE)
             self.train_step = self._variable_speed_step
+        elif self.is_2d:
+            self.train_step = make_sharded_train_step_2d(
+                self.model, self.optimizer, self.moco_cfg, self.mesh)
         else:
             self.train_step = make_sharded_train_step(
                 self.model, self.optimizer, self.moco_cfg, self.mesh)
@@ -150,6 +168,16 @@ class PretrainEngine:
     @staticmethod
     def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
+
+    # -- mesh placement (1-D replicated vs 2-D K-sharded queue) ---------------
+    def _place_state(self, state: MoCoState) -> MoCoState:
+        if self.is_2d:
+            return shard_moco_state_2d(state, self.mesh)
+        return replicate_to_mesh(state, self.mesh)
+
+    def _shard(self, batch):
+        """Shard a host batch over the mesh's batch axes (both on 2-D)."""
+        return shard_batch(batch, self.mesh, axis=self.batch_axes)
 
     # -- device-side augmentation of a uint8 batch ----------------------------
     # Host-geometry loaders pre-crop+resize to the network size (identity
@@ -207,8 +235,8 @@ class PretrainEngine:
                 t0 = time.perf_counter()
             clip_q = self._augment_clip(batch["clips"][0])
             clip_k = self._augment_clip(batch["clips"][1])
-            clip_q = shard_batch(clip_q, self.mesh)
-            clip_k = shard_batch(clip_k, self.mesh)
+            clip_q = self._shard(clip_q)
+            clip_k = self._shard(clip_k)
             if timing:
                 # fetch_scalar, not block_until_ready: the axon tunnel's
                 # block_until_ready returns before remote work finishes,
@@ -265,12 +293,19 @@ class PretrainEngine:
     def validate_epoch(self) -> dict:
         """One no-grad statistics epoch (reference: pretrain.py:300-304)."""
         if len(tuple(self.moco_cfg.diff_speed or ())) > 1:
-            from ..moco.builder import make_variable_speed_eval_steps
-            steps = make_variable_speed_eval_steps(self.model, self.moco_cfg,
-                                                   self.mesh)
+            if self.is_2d:
+                from ..moco.sharded_queue import \
+                    make_variable_speed_eval_steps_2d as make_eval_steps
+            else:
+                from ..moco.builder import \
+                    make_variable_speed_eval_steps as make_eval_steps
+            steps = make_eval_steps(self.model, self.moco_cfg, self.mesh)
 
             def eval_step(state, q, k, rng):
                 return steps[self._draw_speed()](state, q, k, rng)
+        elif self.is_2d:
+            eval_step = make_sharded_eval_step_2d(self.model, self.moco_cfg,
+                                                  self.mesh)
         else:
             eval_step = make_sharded_eval_step(self.model, self.moco_cfg,
                                                self.mesh)
@@ -279,10 +314,8 @@ class PretrainEngine:
         spool = MetricSpool()
         from ..data.pipeline import prefetch_iterator
         for i, batch in enumerate(prefetch_iterator(iter(self.train_loader))):
-            clip_q = shard_batch(self._augment_clip(batch["clips"][0]),
-                                 self.mesh)
-            clip_k = shard_batch(self._augment_clip(batch["clips"][1]),
-                                 self.mesh)
+            clip_q = self._shard(self._augment_clip(batch["clips"][0]))
+            clip_k = self._shard(self._augment_clip(batch["clips"][1]))
             self.step_key, sub = jax.random.split(self.step_key)
             metrics = eval_step(self.state, clip_q, clip_k, sub)
             spool.append(jnp.stack([metrics[k] for k in _METER_KEYS]),
@@ -300,8 +333,8 @@ class PretrainEngine:
         trace_dir = str(self.args.run_dir / "profile")
         it = iter(self.train_loader)
         batch = next(it)
-        clip_q = shard_batch(self._augment_clip(batch["clips"][0]), self.mesh)
-        clip_k = shard_batch(self._augment_clip(batch["clips"][1]), self.mesh)
+        clip_q = self._shard(self._augment_clip(batch["clips"][0]))
+        clip_k = self._shard(self._augment_clip(batch["clips"][1]))
         # warmup/compile outside the trace; the barrier must be a dependent
         # VALUE FETCH — block_until_ready returns before remote execution
         # on the tunneled chip (CLAUDE.md TIMING TRAP), which would close
@@ -348,6 +381,10 @@ class PretrainEngine:
         # no device_get here: the checkpoint layer fetches all leaves as one
         # batched transfer (per-leaf fetches cost a tunnel round trip each)
         s = self.state
+        if self.is_2d:
+            # checkpoints store the reference's dense [dim, K] queue layout
+            # (.pth.tar interop); gather the K-shards device-side first
+            s = gather_queue_2d(s, self.mesh)
         state = {
             "epoch": epoch,
             "arch": self.arch,
@@ -382,6 +419,7 @@ class PretrainEngine:
             self.scheduler.load_state_dict(ckpt["scheduler"])
             self.current_epoch = int(ckpt["epoch"]) + 1
             self.best_loss = float(ckpt.get("best_loss", float("inf")))
-        self.state = replicate_to_mesh(self.state, self.mesh)
+        # re-shards the dense checkpoint queue over K on a 2-D mesh
+        self.state = self._place_state(self.state)
         logger.info("Loaded checkpoint from %s (epoch %s)", path,
                     ckpt.get("epoch"))

@@ -9,7 +9,8 @@ from .builder import (MoCoConfig, MoCoState, diff_speed_gather,
                       make_sharded_eval_step, make_sharded_train_step,
                       make_train_step, moco_loss, momentum_update,
                       packed_frame_subset, queue_update, speed_index_sets)
-from .sharded_queue import (make_sharded_train_step_2d, queue_update_sharded,
+from .sharded_queue import (gather_queue_2d, make_sharded_eval_step_2d,
+                            make_sharded_train_step_2d, queue_update_sharded,
                             shard_moco_state_2d)
 from .wrapper import MultiTaskWrapper
 
@@ -66,6 +67,6 @@ __all__ = [
     "make_eval_step", "make_sharded_eval_step",
     "momentum_update", "queue_update", "moco_loss", "diff_speed_gather",
     "speed_index_sets",
-    "make_sharded_train_step_2d", "queue_update_sharded",
-    "shard_moco_state_2d",
+    "make_sharded_train_step_2d", "make_sharded_eval_step_2d",
+    "queue_update_sharded", "shard_moco_state_2d", "gather_queue_2d",
 ]

@@ -3,7 +3,7 @@
 SURVEY.md §2.8 names the optional second mesh axis: "a clean 1-D data
 mesh (optionally 2-D data x model to shard the K=16384 negative queue and
 large batches)". This module is that option — the tensor-parallel variant
-of the fused train step in builder.py:
+of the fused train step:
 
 - The mesh is ``(data=D, model=M)``; the batch is sharded over BOTH axes
   (D*M-way — no replicated encoder compute anywhere), and the queue
@@ -26,11 +26,16 @@ query cotangent already sums every shard's contribution), hence
 ``psum`` over model reassembles the group gradient and ``pmean`` over
 data averages groups — one collective pair, same cost shape as 1-D DP.
 
+The step BODY is shared with the 1-D layout (step_core.make_step_body):
+only the collectives here differ, so ``fused_key_pass=False`` (reference
+BN-parity mode) and exact multi-speed work identically in both layouts.
+
 When to use: K at reference scale (16384 x 128 f32 = 8 MB) does not NEED
 sharding — this exists for large-K / large-batch scaling and as the
-framework's tensor-parallel capability proof (exercised by
+framework's tensor-parallel capability. Engine wiring: config
+``parallel: {data: D, model: M}`` (engines/pretrain.py). Exercised by
 ``__graft_entry__.dryrun_multichip`` and tests/test_sharded_queue.py,
-which pins 2-D == 1-D numerics on the same global batch).
+which pins 2-D == 1-D numerics on the same global batch in float64.
 
 Reference equivalence: the training math is MoCoDiffLossTwoFc
 (/root/reference/moco/builder_diffspeed_diffloss.py:286-546) exactly as
@@ -42,10 +47,9 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import optax
 
-from .builder import (MoCoConfig, MoCoState, diff_speed_gather,
-                      momentum_update)
+from .step_core import (MoCoConfig, MoCoState, StepLayout, make_eval_body,
+                        make_step_body, speed_branch_config)
 
 
 def sharded_ce_and_rank(l_pos, l_neg_part, model_axis: str):
@@ -104,124 +108,96 @@ def queue_update_sharded(queue_shard, queue_ptr, keys, model_axis: str):
     return queue_shard, queue_ptr
 
 
+def data_model_layout(cfg: MoCoConfig, data_axis: str = "data",
+                      model_axis: str = "model") -> StepLayout:
+    """2-D collectives: distributed softmax over queue shards, rank-count
+    accuracies, psum(model)+pmean(data) grad combine, predicated enqueue."""
+
+    def fold_rng(rng):
+        # flat replica index (data-major, matching the 1-D device order)
+        # so each shard draws its own speed/permutation like builder.py
+        n_model = jax.lax.psum(1, model_axis)
+        flat = (jax.lax.axis_index(data_axis) * n_model
+                + jax.lax.axis_index(model_axis))
+        return jax.random.fold_in(rng, flat)
+
+    gather_m = lambda v: jax.lax.all_gather(  # noqa: E731
+        v, model_axis, axis=0, tiled=True)
+
+    def avid_loss(q_a, k_a, k_neg_a, queue, cfg):
+        t = cfg.t
+        l_pos_a1 = jnp.sum(q_a * k_a, axis=1, keepdims=True) / t
+        l_pos_a2 = jnp.sum(q_a * k_neg_a, axis=1, keepdims=True) / t
+        # model-group query gather (transpose = psum-scatter, so each
+        # device's backward receives its rows' FULL cotangent)
+        q_grp = gather_m(q_a)
+        l_neg_part = (q_grp @ jax.lax.stop_gradient(queue)) / t
+        ce1, rank1 = sharded_ce_and_rank(
+            gather_m(l_pos_a1), l_neg_part, model_axis)
+        ce2, rank2 = sharded_ce_and_rank(
+            gather_m(l_pos_a2), l_neg_part, model_axis)
+        return ce1 + ce2, (rank1, rank2)
+
+    def avid_metrics(aux_a, cfg):
+        rank1, rank2 = aux_a
+        top5 = min(5, int(cfg.k) + 1)   # accuracy()'s maxk clamp
+        acc = lambda r, n: jnp.mean(  # noqa: E731
+            (r < n).astype(jnp.float32)) * 100.0
+        return {"acc1_A": acc(rank1, 1), "acc5_A": acc(rank1, top5),
+                "acc1_A_n": acc(rank2, 1), "acc5_A_n": acc(rank2, top5)}
+
+    def loss_scale():
+        # 1/M on the WHOLE loss: under shard_map, AD through the
+        # collectives (all_gather -> psum_scatter, psum -> psum) makes
+        # each device's grad equal d(sum over group members' losses)/
+        # d(theta). The group CE is computed identically by all M
+        # members, so its gradient arrives M-fold; the margin term is
+        # per-member. Dividing by M makes psum(model) reconstruct
+        # exactly [d(group CE) + d(group-mean margin)] and pmean(data)
+        # the global objective (verified vs the 1-D step in
+        # tests/test_sharded_queue.py — the unscaled version trains
+        # the CE M x too hot and diverges from step 2 on).
+        return 1.0 / jax.lax.psum(1, model_axis)
+
+    def grad_combine(grads):
+        # group grad = psum over model; global grad = mean over groups
+        return jax.lax.pmean(jax.lax.psum(grads, model_axis), data_axis)
+
+    def gather_keys(k_neg_a):
+        # the global batch of negative-speed keys (both axes)
+        return jax.lax.all_gather(gather_m(k_neg_a), data_axis, axis=0,
+                                  tiled=True)
+
+    return StepLayout(
+        fold_rng=fold_rng,
+        avid_loss=avid_loss,
+        avid_metrics=avid_metrics,
+        loss_scale=loss_scale,
+        grad_combine=grad_combine,
+        gather_keys=gather_keys,
+        queue_update=lambda q, p, keys: queue_update_sharded(
+            q, p, keys, model_axis),
+        metrics_combine=lambda m: jax.lax.pmean(m, (data_axis, model_axis)),
+    )
+
+
 def make_train_step_2d(model, optimizer, cfg: MoCoConfig,
                        data_axis: str = "data",
                        model_axis: str = "model") -> Callable:
     """Per-device body of the 2-D step (wrap in shard_map via
     make_sharded_train_step_2d). ``model`` must be built with
     ``axis_name=(data_axis, model_axis)`` so BN moments psum over the
-    whole mesh (the batch is sharded over both axes). Fused key pass only
-    (cfg.fused_key_pass=False is a parity-test mode of the 1-D path)."""
+    whole mesh (the batch is sharded over both axes)."""
+    return make_step_body(model, optimizer, cfg,
+                          data_model_layout(cfg, data_axis, model_axis))
 
-    def apply_encoder(params, batch_stats, x, train):
-        out, mut = model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=train,
-            mutable=["batch_stats"] if train else [], rngs=None)
-        new_stats = mut["batch_stats"] if train else batch_stats
-        return out, new_stats
 
-    def step(state: MoCoState, im_q, im_k, rng):
-        # flat replica index (data-major, matching the 1-D device order)
-        # so each shard draws its own speed/permutation like builder.py
-        n_model = jax.lax.psum(1, model_axis)
-        flat = (jax.lax.axis_index(data_axis) * n_model
-                + jax.lax.axis_index(model_axis))
-        rng = jax.random.fold_in(rng, flat)
-        rng_speed, _ = jax.random.split(rng)
-
-        params_k = momentum_update(state.params_q, state.params_k, cfg.m)
-        im_q_real, im_k_real, im_k_neg = diff_speed_gather(
-            im_q, im_k, rng_speed, cfg)
-
-        b = im_k_real.shape[0]
-        k_both = jnp.concatenate([im_k_real, im_k_neg], axis=0)
-        (kb_a, kb_m), stats_k = apply_encoder(
-            params_k, state.batch_stats_k, k_both, train=True)
-        kb_a = jax.lax.stop_gradient(kb_a)
-        kb_m = jax.lax.stop_gradient(kb_m)
-        k_a, k_neg_a = kb_a[:b], kb_a[b:]
-        k_m, k_neg_m = kb_m[:b], kb_m[b:]
-
-        t = cfg.t
-        gather_m = lambda v: jax.lax.all_gather(  # noqa: E731
-            v, model_axis, axis=0, tiled=True)
-
-        def loss_fn(params_q):
-            (q_a, q_m), stats_q = apply_encoder(
-                params_q, state.batch_stats_q, im_q_real, train=True)
-            l_pos_a1 = jnp.sum(q_a * k_a, axis=1, keepdims=True) / t
-            l_pos_a2 = jnp.sum(q_a * k_neg_a, axis=1, keepdims=True) / t
-            l_pos_m = jnp.sum(q_m * k_m, axis=1, keepdims=True) / t
-            l_neg_m = jnp.sum(q_m * k_neg_m, axis=1, keepdims=True) / t
-
-            # model-group query gather (transpose = psum-scatter, so each
-            # device's backward receives its rows' FULL cotangent)
-            q_grp = gather_m(q_a)
-            l_neg_part = (q_grp @ jax.lax.stop_gradient(state.queue)) / t
-            ce1, rank1 = sharded_ce_and_rank(
-                gather_m(l_pos_a1), l_neg_part, model_axis)
-            ce2, rank2 = sharded_ce_and_rank(
-                gather_m(l_pos_a2), l_neg_part, model_axis)
-
-            loss_a = ce1 + ce2                        # group-level scalar
-            margin_local = jnp.maximum(
-                0.0, cfg.margin - (l_pos_m - l_neg_m)).mean()
-            # /n_model on the WHOLE loss: under shard_map, AD through the
-            # collectives (all_gather -> psum_scatter, psum -> psum) makes
-            # each device's grad equal d(sum over group members' losses)/
-            # d(theta). The group CE is computed identically by all M
-            # members, so its gradient arrives M-fold; the margin term is
-            # per-member. Dividing by M makes psum(model) reconstruct
-            # exactly [d(group CE) + d(group-mean margin)] and pmean(data)
-            # the global objective (verified vs the 1-D step in
-            # tests/test_sharded_queue.py — the unscaled version trains
-            # the CE M x too hot and diverges from step 2 on).
-            loss = (cfg.loss_lambda_a * loss_a
-                    + cfg.loss_lambda_m * margin_local) / n_model
-            aux = (stats_q, loss_a, margin_local, rank1, rank2,
-                   l_pos_m, l_neg_m)
-            return loss, aux
-
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params_q)
-        stats_q, loss_a, margin_local, rank1, rank2, l_pos_m, l_neg_m = aux
-
-        # group grad = psum over model; global grad = mean over groups
-        grads = jax.lax.psum(grads, model_axis)
-        grads = jax.lax.pmean(grads, data_axis)
-
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params_q)
-        params_q = optax.apply_updates(state.params_q, updates)
-
-        # enqueue the global batch of negative-speed keys into this shard
-        keys = jax.lax.all_gather(
-            gather_m(k_neg_a), data_axis, axis=0, tiled=True)
-        queue, queue_ptr = queue_update_sharded(
-            state.queue, state.queue_ptr, keys, model_axis)
-
-        top5 = min(5, int(cfg.k) + 1)   # accuracy()'s maxk clamp
-        acc = lambda r, n: jnp.mean(  # noqa: E731
-            (r < n).astype(jnp.float32)) * 100.0
-        acc_m = jnp.mean((l_pos_m > l_neg_m).astype(jnp.float32)) * 100.0
-        metrics = {
-            "loss": (cfg.loss_lambda_a * loss_a
-                     + cfg.loss_lambda_m * margin_local),
-            "loss_A": loss_a, "loss_M": margin_local,
-            "acc1_A": acc(rank1, 1), "acc5_A": acc(rank1, top5),
-            "acc1_A_n": acc(rank2, 1), "acc5_A_n": acc(rank2, top5),
-            "acc1_M": acc_m,
-        }
-        metrics = jax.lax.pmean(metrics, (data_axis, model_axis))
-
-        new_state = MoCoState(
-            params_q=params_q, params_k=params_k,
-            batch_stats_q=stats_q, batch_stats_k=stats_k,
-            queue=queue, queue_ptr=queue_ptr,
-            opt_state=opt_state, step=state.step + 1)
-        return new_state, metrics
-
-    return step
+def make_eval_step_2d(model, cfg: MoCoConfig, data_axis: str = "data",
+                      model_axis: str = "model") -> Callable:
+    """No-grad statistics step against the K-sharded queue (2-D analogue
+    of builder.make_eval_step, for ``pretrain.py --validate``)."""
+    return make_eval_body(model, cfg,
+                          data_model_layout(cfg, data_axis, model_axis))
 
 
 def moco_state_specs_2d(model_axis: str = "model") -> MoCoState:
@@ -253,12 +229,71 @@ def make_sharded_train_step_2d(model, optimizer, cfg: MoCoConfig, mesh,
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
+def make_sharded_eval_step_2d(model, cfg: MoCoConfig, mesh,
+                              data_axis: str = "data",
+                              model_axis: str = "model") -> Callable:
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    step = make_eval_step_2d(model, cfg, data_axis=data_axis,
+                             model_axis=model_axis)
+    state_specs = moco_state_specs_2d(model_axis)
+    batch_spec = P((data_axis, model_axis))
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(state_specs, batch_spec, batch_spec, P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_variable_speed_train_steps_2d(model, optimizer, cfg: MoCoConfig,
+                                       mesh, data_axis: str = "data",
+                                       model_axis: str = "model") -> dict:
+    """Exact multi-speed on the 2-D layout: {speed: sharded step} — same
+    semantics as builder.make_variable_speed_train_steps (one compiled
+    step per speed at the reference's T_real = T//s, host draws the
+    speed mesh-uniformly per step)."""
+    return {
+        s: make_sharded_train_step_2d(
+            model, optimizer, speed_branch_config(cfg, s), mesh,
+            data_axis=data_axis, model_axis=model_axis)
+        for s in cfg.diff_speed
+    }
+
+
+def make_variable_speed_eval_steps_2d(model, cfg: MoCoConfig, mesh,
+                                      data_axis: str = "data",
+                                      model_axis: str = "model") -> dict:
+    return {
+        s: make_sharded_eval_step_2d(model, speed_branch_config(cfg, s),
+                                     mesh, data_axis=data_axis,
+                                     model_axis=model_axis)
+        for s in cfg.diff_speed
+    }
+
+
 def shard_moco_state_2d(state: MoCoState, mesh,
                         model_axis: str = "model") -> MoCoState:
     """Place an init_moco_state result on a 2-D mesh: queue K-sharded,
-    the rest replicated."""
+    the rest replicated.
+
+    device_put re-shards existing jax.Arrays device-side (no host
+    round-trip — for the large-K regime this module exists for, a
+    device_get would force a full host copy over the slow link)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     replicated = NamedSharding(mesh, P())
-    state = jax.device_put(state, replicated)
-    return state._replace(queue=jax.device_put(
-        jax.device_get(state.queue), NamedSharding(mesh, P(None, model_axis))))
+    qspec = NamedSharding(mesh, P(None, model_axis))
+    placed = {
+        f: jax.device_put(getattr(state, f),
+                          qspec if f == "queue" else replicated)
+        for f in state._fields
+    }
+    return MoCoState(**placed)
+
+
+def gather_queue_2d(state: MoCoState, mesh) -> MoCoState:
+    """Replicate the K-sharded queue (checkpoint-save path: the .pth.tar
+    layout stores the dense [dim, K] queue, reference :345-359)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return state._replace(
+        queue=jax.device_put(state.queue, NamedSharding(mesh, P())))

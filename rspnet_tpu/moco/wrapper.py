@@ -15,7 +15,7 @@ from typing import Any, Callable, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..models.common import ConvBN, global_avg_pool
+from ..models.common import AxisName, ConvBN, global_avg_pool
 
 
 class LinearFc(nn.Module):
@@ -61,7 +61,7 @@ class ConvBnFc(nn.Module):
     """conv->bn->relu->GAP->linear (reference: split_wrapper.py:42-63)."""
     moco_dim: int
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @nn.compact
     def __call__(self, feat, train: bool = False):
@@ -84,7 +84,7 @@ class MultiTaskWrapper(nn.Module):
     finetune: bool = False
     fc_type: str = "linear"
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     def setup(self):
         self.encoder = self.encoder_factory(

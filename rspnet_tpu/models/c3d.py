@@ -9,7 +9,7 @@ from typing import Any, Optional
 
 import flax.linen as nn
 
-from .common import ConvBN, global_avg_pool, max_pool3d
+from .common import AxisName, ConvBN, global_avg_pool, max_pool3d
 
 _STAGES = ["conv1", "conv2", "conv3a", "conv3b", "conv4a", "conv4b",
            "conv5a", "conv5b"]
@@ -24,7 +24,7 @@ class C3D(nn.Module):
     num_classes: int = 101
     with_classifier: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @property
     def feature_dim(self) -> int:

@@ -16,6 +16,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 Dtype = Any
+# Mesh axis (or axes) BN moments psum over: a single axis name for the 1-D
+# data mesh, or a tuple like ("data", "model") when the batch is sharded
+# over a 2-D mesh (moco/sharded_queue.py) — lax.pmean/psum accept both.
+AxisName = Union[str, Tuple[str, ...]]
 
 
 def _triple(x) -> Tuple[int, int, int]:
@@ -40,9 +44,11 @@ class BatchNorm(nn.Module):
       it systematically shrinks eval-time variances.
     - normalization itself uses the biased variance (torch does too).
 
-    ``axis_name`` psums the moments across the data mesh (cross-replica BN,
+    ``axis_name`` psums the moments across the mesh (cross-replica BN,
     the shuffle-BN replacement, SURVEY.md §5.8); n then counts the global
-    elements so the Bessel factor stays exact.
+    elements so the Bessel factor stays exact. Accepts one axis name (1-D
+    data mesh) or a tuple of axes (2-D data x model mesh, where the batch
+    is sharded over both).
 
     Verified against torch in float64 by tests/test_step_parity.py.
     """
@@ -50,7 +56,7 @@ class BatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Optional[Dtype] = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
     scale_init: Callable = nn.initializers.ones
     bias_init: Callable = nn.initializers.zeros
 
@@ -185,7 +191,7 @@ class ConvBN(nn.Module):
     bn_eps: float = 1e-5
     bn_splits: int = 1
     dtype: Optional[Dtype] = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
     kernel_init: Any = nn.initializers.variance_scaling(
         2.0, "fan_out", "normal")  # kaiming_normal(fan_out), models/resnet.py:160
     bn_scale_init: Any = nn.initializers.ones  # zeros for residual-final

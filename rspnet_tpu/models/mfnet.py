@@ -11,7 +11,7 @@ from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 
-from .common import BatchNorm, _pad3, _triple, global_avg_pool, max_pool3d
+from .common import AxisName, BatchNorm, _pad3, _triple, global_avg_pool, max_pool3d
 
 # the reference xavier-inits the whole net (mfnet_3d.py:151
 # initializer.xavier); flax's default is lecun_normal, so every conv
@@ -27,7 +27,7 @@ class BnAcConv(nn.Module):
     strides: Tuple[int, int, int] = (1, 1, 1)
     groups: int = 1
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -54,7 +54,7 @@ class MFUnit(nn.Module):
     first_block: bool = False
     use_3d: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -91,7 +91,7 @@ class MFNet3D(nn.Module):
     num_classes: int = 128
     with_classifier: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @property
     def feature_dim(self) -> int:

@@ -12,7 +12,7 @@ from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 
-from .common import BatchNorm, ConvBN, _triple, global_avg_pool
+from .common import AxisName, BatchNorm, ConvBN, _triple, global_avg_pool
 
 
 def intermediate_channels(kernel_size: Tuple[int, int, int],
@@ -36,7 +36,7 @@ class SpatioTemporalConv(nn.Module):
     strides: Union[int, Tuple[int, int, int]] = 1
     padding: Union[int, Tuple[int, int, int]] = 0
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     def setup(self):
         k = _triple(self.kernel_size)
@@ -66,7 +66,7 @@ class ResBlock(nn.Module):
     kernel_size: int = 3
     downsample: bool = False
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     def setup(self):
         pad = self.kernel_size // 2
@@ -103,7 +103,7 @@ class R2Plus1DNet(nn.Module):
     num_classes: int = 101
     with_classifier: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @property
     def feature_dim(self) -> int:

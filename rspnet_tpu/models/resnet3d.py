@@ -13,7 +13,7 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import ConvBN, avg_pool3d, global_avg_pool, max_pool3d
+from .common import AxisName, ConvBN, avg_pool3d, global_avg_pool, max_pool3d
 
 
 def _shortcut(x, out_channels: int, stride: int, kind: str, module=None,
@@ -37,7 +37,7 @@ class BasicBlock(nn.Module):
     shortcut: str = "B"
     needs_proj: bool = False
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     expansion = 1
 
@@ -65,7 +65,7 @@ class Bottleneck(nn.Module):
     shortcut: str = "B"
     needs_proj: bool = False
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     expansion = 4
 
@@ -97,7 +97,7 @@ class ResNet3D(nn.Module):
     shortcut_type: str = "B"
     with_classifier: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @property
     def feature_dim(self) -> int:

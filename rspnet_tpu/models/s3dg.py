@@ -12,7 +12,7 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import ConvBN, global_avg_pool, max_pool3d
+from .common import AxisName, ConvBN, global_avg_pool, max_pool3d
 
 _BN = dict(bn_eps=1e-3, bn_momentum=0.999)
 
@@ -26,7 +26,7 @@ class SepConv(nn.Module):
     padding: int = 0
     gate: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     def setup(self):
         k, p = self.kernel_size, self.padding
@@ -55,7 +55,7 @@ class SepInc(nn.Module):
     out_channels: Sequence[int]  # [b0, b1_red, b1, b2_red, b2, b3]
     gate: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     def setup(self):
         oc = self.out_channels
@@ -97,7 +97,7 @@ class S3DG(nn.Module):
     gate: bool = True
     with_classifier: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @property
     def feature_dim(self) -> int:

@@ -43,7 +43,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .common import BatchNorm, ConvBN, global_avg_pool, max_pool3d
+from .common import AxisName, BatchNorm, ConvBN, global_avg_pool, max_pool3d
 
 _R50 = (3, 4, 6, 3)
 _R101 = (3, 4, 23, 3)
@@ -228,7 +228,7 @@ class NonLocal(nn.Module):
     instantiation: str = "dot_product"
     bn_splits: int = 1
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -276,7 +276,7 @@ class Bottleneck(nn.Module):
     needs_proj: bool = False
     bn_splits: int = 1
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     def setup(self):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name,
@@ -317,7 +317,7 @@ class Pathway(nn.Module):
     fuse_in: Sequence[int] = (0, 0, 0, 0)
     bn_splits: int = 1
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     def setup(self):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
@@ -386,7 +386,7 @@ class FuseFastToSlow(nn.Module):
     alpha: int
     bn_splits: int = 1
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -404,7 +404,7 @@ class SlowFast(nn.Module):
     dropout_rate: float = 0.5
     with_classifier: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @property
     def feature_dim(self) -> int:

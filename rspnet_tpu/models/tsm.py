@@ -19,7 +19,7 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import ConvBN, global_avg_pool, max_pool3d
+from .common import AxisName, ConvBN, global_avg_pool, max_pool3d
 
 
 def temporal_shift(x: jnp.ndarray, fold_div: int = 8) -> jnp.ndarray:
@@ -83,7 +83,7 @@ class NonLocalBlock(nn.Module):
     sub_sample: bool = True
     bn_layer: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -130,7 +130,7 @@ class TsmBottleneck(nn.Module):
     shift_groups: int = 1    # >1: grouped shift (temporal_shift.py:63-104)
     use_shift: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     expansion = 4
 
@@ -168,7 +168,7 @@ class TsmBasicBlock(nn.Module):
     shift_groups: int = 1    # >1: grouped shift (temporal_shift.py:63-104)
     use_shift: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     expansion = 1
 
@@ -211,7 +211,7 @@ class TSM(nn.Module):
     with_classifier: bool = True
     consensus: str = "avg"
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @property
     def feature_dim(self) -> int:

@@ -12,7 +12,7 @@ from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 
-from .common import ConvBN, global_avg_pool
+from .common import AxisName, ConvBN, global_avg_pool
 
 
 class VideoBasicBlock(nn.Module):
@@ -20,7 +20,7 @@ class VideoBasicBlock(nn.Module):
     stride: int = 1
     needs_proj: bool = False
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     def setup(self):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
@@ -41,7 +41,7 @@ class VideoResNet(nn.Module):
     num_classes: int = 400
     with_classifier: bool = True
     dtype: Any = None
-    axis_name: Optional[str] = None
+    axis_name: Optional[AxisName] = None
 
     @property
     def feature_dim(self) -> int:

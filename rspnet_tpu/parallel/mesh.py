@@ -90,6 +90,32 @@ def mesh_for_args(args, axis: str = "data") -> Mesh:
     return create_mesh(n, axis=axis)
 
 
+def mesh_for_config(cfg, args) -> Mesh:
+    """Mesh selected by the config's ``parallel`` block (SURVEY §2.8).
+
+    ``parallel: {data: D, model: M}`` builds the 2-D data x model mesh that
+    shards the MoCo queue over K (moco/sharded_queue.py); ``data`` may be
+    omitted (D = available devices / M). Without the block (all
+    reference-parity configs) this is exactly ``mesh_for_args`` — a 1-D
+    data mesh capped by --ws.
+    """
+    model = int(cfg.get("parallel.model", 1) or 1)
+    if model <= 1:
+        return mesh_for_args(args)
+    avail = jax.device_count()
+    ws = getattr(args, "world_size", None)
+    if ws:
+        avail = min(int(ws), avail)
+    data = cfg.get("parallel.data", None)
+    if data is None:
+        if avail % model:
+            raise ValueError(
+                f"parallel.model={model} does not divide the {avail} "
+                f"available device(s); set parallel.data explicitly")
+        data = avail // model
+    return create_mesh_2d(int(data), model)
+
+
 def data_parallel_specs(mesh: Mesh, axis: str = "data"):
     """(batch_spec, replicated_spec) shardings for the mesh."""
     return (NamedSharding(mesh, P(axis)), NamedSharding(mesh, P()))

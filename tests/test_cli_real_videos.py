@@ -1,0 +1,122 @@
+"""Full-CLI integration over REAL encoded videos (VERDICT r3 #5).
+
+The composed reference default path — UCF101-style catalog parsing ->
+video decode (native C++ FFmpeg or cv2 fallback) -> decode-time scaling +
+device-geometry augment -> fused MoCo step -> checkpoint -> finetune with
+--mc — as single CLI runs over an on-disk video tree, the way a user runs
+it (reference: datasets/classification/video.py:55-80, ucf101.py:18-79).
+
+Every piece is unit-tested elsewhere; this pins the composition.
+"""
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="module")
+def ucf_tree(tmp_path_factory):
+    """Tiny UCF101-style dataset: videos/<Class>/v_*.avi + classInd.txt +
+    trainlist01.txt/testlist01.txt (the exact reference annotation format,
+    ucf101.py:18-79). Two classes distinguishable by motion direction."""
+    root = tmp_path_factory.mktemp("ucf")
+    vdir, adir = root / "videos", root / "annotations"
+    adir.mkdir()
+    classes = ["SwingLeft", "SwingRight"]
+    train_lines, test_lines = [], []
+    rng = np.random.default_rng(0)
+    for ci, cname in enumerate(classes):
+        (vdir / cname).mkdir(parents=True)
+        for g in range(6):  # 4 train + 2 test per class
+            rel = f"{cname}/v_{cname}_g{g:02d}_c01.avi"
+            w = cv2.VideoWriter(str(vdir / rel),
+                                cv2.VideoWriter_fourcc(*"MJPG"), 25,
+                                (64, 48))
+            phase = float(rng.uniform(0, 32))
+            for t in range(60):
+                f = np.full((48, 64, 3), 32, np.uint8)
+                x = int(phase + (t if ci == 0 else -t)) % 56
+                f[8:40, x:x + 8, :] = 224
+                w.write(f[..., ::-1])
+            w.release()
+            (train_lines if g < 4 else test_lines).append(
+                f"{rel} {ci + 1}" if g < 4 else rel)
+    (adir / "classInd.txt").write_text(
+        "".join(f"{i + 1} {c}\n" for i, c in enumerate(classes)))
+    (adir / "trainlist01.txt").write_text("".join(l + "\n"
+                                                  for l in train_lines))
+    (adir / "testlist01.txt").write_text("".join(l + "\n"
+                                                 for l in test_lines))
+    return vdir, adir
+
+
+def _dataset_ext(vdir, adir):
+    return (f'dataset: {{name: "ucf101", root: "{vdir}", '
+            f'annotation_path: "{adir}", fold: 1}}')
+
+
+@pytest.fixture(scope="module")
+def pretrain_real_run(ucf_tree, tmp_path_factory):
+    """pretrain.py -d over the on-disk tree through decode_size (decode-
+    time scaling inside the decoder) + device_geometry (crop boxes sampled
+    in the engine, applied in the fused device augment)."""
+    import pretrain
+    vdir, adir = ucf_tree
+    exp = tmp_path_factory.mktemp("exp_pre_real")
+    pretrain.main([
+        "-c", str(REPO / "config/pretrain/resnet18.jsonnet"),
+        "-e", str(exp), "-d", "--seed", "1",
+        "-x", "{" + _dataset_ext(vdir, adir) +
+        ', batch_size: 1, num_workers: 2, '
+        'spatial_transforms+: {size: 32}, '
+        'temporal_transforms+: {_size: 8}, '
+        'moco+: {k: 8, dim: 8}, '
+        'device_geometry: true, decode_size: [48, 64]}',
+    ])
+    return exp
+
+
+def test_pretrain_real_videos_artifacts(pretrain_real_run):
+    from rspnet_tpu.framework import load_state
+    exp = pretrain_real_run
+    assert (exp / "checkpoint.pth.tar").exists()
+    ckpt = load_state(exp / "checkpoint.pth.tar")
+    assert ckpt["epoch"] == 1
+    q = np.asarray(ckpt["model"]["queue"])
+    assert q.shape == (8, 8)
+    assert np.isfinite(q).all()
+    # the queue was written from real encoded-video batches: columns are
+    # L2-normalized encoder outputs, not the random init
+    np.testing.assert_allclose(np.linalg.norm(q, axis=0), 1.0, atol=1e-3)
+    cfg = json.loads(
+        (next(exp.glob("run_0_*")) / "config.json").read_text())
+    assert cfg["dataset"]["name"] == "ucf101"
+    assert cfg["decode_size"] == [48, 64]
+
+
+def test_finetune_real_videos_with_mc(pretrain_real_run, ucf_tree,
+                                      tmp_path):
+    """finetune.py -d --mc <real-video checkpoint>: catalog -> decode ->
+    host-geometry augment -> supervised step -> multi-crop validate."""
+    import finetune
+    vdir, adir = ucf_tree
+    result = finetune.main([
+        "-c", str(REPO / "config/finetune/ucf101_resnet18.jsonnet"),
+        "-e", str(tmp_path / "exp_ft_real"), "-d", "--seed", "1",
+        "--mc", str(pretrain_real_run / "checkpoint.pth.tar"),
+        "-x", "{" + _dataset_ext(vdir, adir) +
+        ', batch_size: 1, num_workers: 2, '
+        'spatial_transforms+: {size: 32}, '
+        'temporal_transforms+: {size: 8, frame_rate: null, '
+        'validate+: {n_crop: 2, final_n_crop: 2}}, '
+        'validate: {batch_size: 1}, final_validate: {batch_size: 1}}',
+    ])
+    assert 0.0 <= result["acc1"] <= 100.0
+    assert (tmp_path / "exp_ft_real" / "checkpoint.pth.tar").exists()

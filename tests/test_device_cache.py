@@ -91,8 +91,40 @@ def test_same_epoch_is_deterministic():
 
 def test_cache_limit_guard(monkeypatch):
     monkeypatch.setenv("RSPNET_CACHE_LIMIT_MB", "0.1")
-    with pytest.raises(ValueError, match="HBM"):
+    with pytest.raises(ValueError, match="preflight"):
         build_loader(_cfg(cache=True), "train", vid=True)
+
+
+def test_cache_preflight_refuses_before_full_decode(monkeypatch):
+    """A too-big dataset must fail after ONE batch, not after decoding
+    everything (VERDICT r3 #7: the old guard materialized the whole
+    dataset before comparing against the limit)."""
+    monkeypatch.setenv("RSPNET_CACHE_LIMIT_MB", "0.1")
+    inner = build_loader(_cfg(n=10), "train", vid=True)
+    consumed = []
+    orig_iter = type(inner).__iter__
+
+    class Counting:
+        cfg = inner.cfg
+        num_samples = inner.num_samples
+
+        def set_epoch(self, e):
+            inner.set_epoch(e)
+
+        def num_valid_samples(self):
+            return inner.num_valid_samples()
+
+        def __len__(self):
+            return len(inner)
+
+        def __iter__(self):
+            for b in orig_iter(inner):
+                consumed.append(1)
+                yield b
+
+    with pytest.raises(ValueError, match="preflight"):
+        DeviceCachedLoader(Counting())
+    assert sum(consumed) == 1   # exactly one batch decoded, then refused
 
 
 def test_cache_train_only_mode():

@@ -92,13 +92,14 @@ def test_vendored_yamls_are_byte_identical_to_reference():
 
     from tests.conftest import REFERENCE_ROOT
 
-    ref_dir = os.path.join(REFERENCE_ROOT, "config/slowfast-configs/Kinetics")
+    ref_dir = os.path.join(REFERENCE_ROOT, "config/slowfast-configs")
     if not os.path.isdir(ref_dir):
         pytest.skip("reference repo not mounted")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ref_paths = sorted(glob.glob(os.path.join(ref_dir, "**/*.yaml"),
                                  recursive=True))
-    assert ref_paths
+    # the full reference set: 30 Kinetics + 7 AVA
+    assert len(ref_paths) == 37
     for rp in ref_paths:
         rel = os.path.relpath(rp, os.path.join(REFERENCE_ROOT, "config"))
         vp = os.path.join(repo, "config", rel)
