@@ -59,7 +59,7 @@ def ucf_tree(tmp_path_factory):
 
 def _dataset_ext(vdir, adir):
     return (f'dataset: {{name: "ucf101", root: "{vdir}", '
-            f'annotation_path: "{adir}", fold: 1}}')
+            f'annotation_path: "{adir}", fold: 1, num_classes: 2}}')
 
 
 @pytest.fixture(scope="module")
