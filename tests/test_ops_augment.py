@@ -167,3 +167,86 @@ def test_augment_compiles_without_gathers():
                             p.order, p.gray, p.blur).as_text()
     assert " gather(" not in hlo and "gather(" not in hlo.replace(
         "all_gather", ""), "augment lowering reintroduced a gather"
+
+
+def test_augment_matches_naive_reference_order():
+    """Full fused augment == naive reference-order composition.
+
+    Pins the fusion restructures (flip folded into the interp matrix,
+    arithmetic-gated jitter slots) against the straightforward pipeline
+    the reference runs: crop/resize -> gray -> jitter (sequential, in
+    `order`) -> hflip -> normalize (datasets/classification/__init__.py:
+    186-199). Random per-sample flip/gray/jitter/boxes.
+    """
+    import jax
+
+    from rspnet_tpu.ops import color
+    from rspnet_tpu.ops.augment import crop_resize
+
+    rng = np.random.default_rng(7)
+    B = 16
+    batch = (RNG.rand(B, 3, 40, 56, 3) * 255).astype(np.uint8)
+    p = sample_train_params(rng, B, [(40, 56)], crop_area=(0.4, 1.0),
+                            h_flip=0.5, gray_p=0.5,
+                            jitter=(0.4, 0.4, 0.4, 0.4))
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    out = augment_batch(jnp.asarray(batch), p.boxes, p.flip, p.jitter,
+                        p.order, p.gray, p.blur, size=(24, 24),
+                        mean=mean, std=std)
+
+    fns = [color.adjust_brightness, color.adjust_contrast,
+           color.adjust_saturation, color.adjust_hue]
+    for b in range(B):
+        x = jnp.asarray(batch[b], jnp.float32) / 255.0
+        x = crop_resize(x, jnp.asarray(p.boxes[b]), (24, 24))
+        if p.gray[b]:
+            x = color.rgb_to_grayscale(x)
+        for op in p.order[b]:
+            x = fns[op](x, p.jitter[b, op])
+        if p.flip[b]:
+            x = color.hflip(x)
+        x = color.normalize(x, mean, std)
+        # atol: the batched (vmap) and single-sample crop matmuls
+        # accumulate in different orders (~1 ulp), which hue's
+        # delta-quotient where-chains amplify to ~1e-5 — measured with
+        # the pre-restructure jitter too. Structural errors (wrong op
+        # order, misrouted flip) give O(1e-2) diffs.
+        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(x),
+                                   atol=1e-4, err_msg=f"sample {b}")
+
+
+def test_apply_jitter_matches_sequential_oracle():
+    """The hue-lifted slot schedule == naive sequential op application.
+
+    _apply_jitter restructures the per-sample random-order jitter (blend
+    ops before hue -> hue once -> blend ops after) for TPU fusion; this
+    pins it, over ALL 24 permutations, against the obvious oracle that
+    applies color.adjust_* one-by-one in `order` (the reference semantics,
+    transforms_tensor.py:107-126).
+    """
+    from itertools import permutations
+
+    import jax
+
+    from rspnet_tpu.ops import color
+    from rspnet_tpu.ops.augment import _apply_jitter
+
+    orders = np.asarray(list(permutations(range(4))), dtype=np.int32)  # 24
+    B = len(orders)
+    clips = RNG.rand(B, 2, 8, 8, 3).astype(np.float32)
+    factors = np.stack([
+        RNG.uniform(0.6, 1.4, B), RNG.uniform(0.6, 1.4, B),
+        RNG.uniform(0.6, 1.4, B), RNG.uniform(-0.4, 0.4, B),
+    ], axis=1).astype(np.float32)
+
+    ours = jax.vmap(_apply_jitter)(jnp.asarray(clips), jnp.asarray(factors),
+                                   jnp.asarray(orders))
+
+    fns = [color.adjust_brightness, color.adjust_contrast,
+           color.adjust_saturation, color.adjust_hue]
+    for b in range(B):
+        x = jnp.asarray(clips[b])
+        for op in orders[b]:
+            x = fns[op](x, factors[b, op])
+        np.testing.assert_allclose(np.asarray(ours[b]), np.asarray(x),
+                                   atol=1e-6, err_msg=f"order={orders[b]}")

@@ -82,7 +82,48 @@ def run_and_trace(batch: int, steps: int, trace_dir: str):
             fetch_scalar(metrics["loss"])
 
 
-def summarize(trace_dir: str, steps: int, top: int):
+# v5e per-chip speed-of-light constants (public spec: 394 bf16 TFLOP/s,
+# 819 GB/s HBM BW). The roofline bound for an op is
+# max(flops/394e12, bytes/819e9); "x bound" = measured_time / bound.
+V5E_BF16_TFLOPS = 394.0
+V5E_HBM_GBPS = 819.0
+
+
+def roofline(per_op, steps: int, top: int):
+    """Per-op attainable-time table for the lowest-TF/s fusions.
+
+    Needs byte counters in the trace events (the axon/TPU profiler exports
+    bytes_accessed per op when available); ops without one get bytes from
+    'shapes'-free fallback = unknown and are marked '?'.
+    """
+    rows = []
+    for name, rec in per_op.items():
+        dur_us, n, flops, tf_op = rec[0], rec[1], rec[2], rec[3]
+        byt = rec[4] if len(rec) > 4 else 0.0
+        if dur_us <= 0:
+            continue
+        t_comp = flops / (V5E_BF16_TFLOPS * 1e12) * 1e6   # us
+        t_mem = byt / (V5E_HBM_GBPS * 1e9) * 1e6 if byt else 0.0
+        bound = max(t_comp, t_mem)
+        rows.append((name, dur_us, n, flops, byt, t_comp, t_mem, bound,
+                     tf_op))
+    # sort by worst absolute headroom (measured - bound), the real target
+    rows.sort(key=lambda r: -(r[1] - r[7]))
+    print("\n== roofline (v5e: %.0f bf16 TF/s, %.0f GB/s HBM); headroom = "
+          "measured - bound" % (V5E_BF16_TFLOPS, V5E_HBM_GBPS))
+    print("%9s %9s %9s %7s %7s  %s" % ("meas ms", "bound ms", "headrm ms",
+                                       "TF/s", "GB/s", "op"))
+    for name, dur, n, flops, byt, t_comp, t_mem, bound, tf_op in rows[:top]:
+        tfs = flops / (dur * 1e6) if dur else 0.0
+        gbs = byt / (dur * 1e3) if dur else 0.0   # bytes/us -> GB/s
+        mark = "" if byt else "  [no byte counter]"
+        print("%9.3f %9.3f %9.3f %7.1f %7.0f  %s%s" % (
+            dur / 1e3 / steps, bound / 1e3 / steps,
+            (dur - bound) / 1e3 / steps, tfs, gbs, name[:60], mark))
+
+
+def summarize(trace_dir: str, steps: int, top: int,
+              dump_args: bool = False, do_roofline: bool = False):
     paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/",
                                    "*.trace.json.gz"))
     if not paths:
@@ -104,7 +145,9 @@ def summarize(trace_dir: str, steps: int, top: int):
 
     per_prog = defaultdict(lambda: [0.0, 0])
     per_cat = defaultdict(lambda: [0.0, 0])     # (dir, hlo_category)
-    per_op = defaultdict(lambda: [0.0, 0, 0.0, ""])  # name -> t,n,flops,tfop
+    # name -> [t_us, n, flops, tf_op, bytes]
+    per_op = defaultdict(lambda: [0.0, 0, 0.0, "", 0.0])
+    arg_keys = defaultdict(int)
     for e in ev:
         if e.get("ph") != "X" or e["pid"] not in tpu_pids:
             continue
@@ -116,6 +159,9 @@ def summarize(trace_dir: str, steps: int, top: int):
             continue
         if not args.get("hlo_category"):
             continue                      # per-step region rows, not ops
+        if dump_args:
+            for k in args:
+                arg_keys[k] += 1
         tf_op = args.get("tf_op", "")
         cat = (direction(tf_op), args["hlo_category"])
         per_cat[cat][0] += dur
@@ -125,6 +171,14 @@ def summarize(trace_dir: str, steps: int, top: int):
         rec[1] += 1
         rec[2] += float(args.get("model_flops", 0) or 0)
         rec[3] = tf_op
+        for bk in ("bytes_accessed", "bytes accessed",
+                   "model_bytes_accessed"):
+            if args.get(bk):
+                rec[4] += float(args[bk])
+                break
+    if dump_args:
+        print("== per-op arg keys seen:",
+              json.dumps(dict(sorted(arg_keys.items()))))
 
     rows = sorted(per_prog.items(), key=lambda kv: -kv[1][0])
     # Normalize by the EXECUTION COUNT the trace actually holds, not the
@@ -145,8 +199,11 @@ def summarize(trace_dir: str, steps: int, top: int):
         print(f"{dur / 1e3 / steps:9.3f} ms/step  x{n / steps:<6.0f} "
               f"{dirn:5s} {cat}")
 
+    if do_roofline:
+        roofline(per_op, steps, top)
+
     print(f"\n== top ops")
-    for name, (dur, n, flops, tf_op) in sorted(
+    for name, (dur, n, flops, tf_op, *_rest) in sorted(
             per_op.items(), key=lambda kv: -kv[1][0])[:top]:
         tflops = flops / (dur * 1e6) if dur else 0.0   # flops/us -> TF/s
         short = tf_op.replace("jit(step)/", "").replace(
@@ -164,13 +221,20 @@ def main():
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--parse-only", default=None, metavar="DIR",
                     help="summarize an existing trace dir, no device run")
+    ap.add_argument("--dump-args", action="store_true",
+                    help="print the union of per-op trace arg keys")
+    ap.add_argument("--roofline", action="store_true",
+                    help="per-op attainable-time table (needs byte "
+                    "counters in the trace)")
     args = ap.parse_args()
     if args.parse_only:
-        summarize(args.parse_only, args.steps, args.top)
+        summarize(args.parse_only, args.steps, args.top, args.dump_args,
+                  args.roofline)
         return
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="rspnet_prof_")
     run_and_trace(args.batch, args.steps, trace_dir)
-    summarize(trace_dir, args.steps, args.top)
+    summarize(trace_dir, args.steps, args.top, args.dump_args,
+              args.roofline)
     print(f"# trace: {trace_dir}", file=sys.stderr)
 
 
