@@ -15,6 +15,7 @@ import glob
 import gzip
 import json
 import os
+import re
 import sys
 import tempfile
 import time
@@ -75,6 +76,17 @@ def run_and_trace(batch: int, steps: int, trace_dir: str):
         fetch_scalar(metrics["loss"])
         print(f"# warmup (compile or cache load): "
               f"{time.perf_counter() - t0:.0f}s", file=sys.stderr, flush=True)
+        # Dump the optimized HLO next to the trace: summarize() estimates
+        # per-op HBM bytes from instruction shapes when the trace carries
+        # no byte counters (the axon profiler exports durations and
+        # model_flops but not bytes_accessed).
+        try:
+            hlo = step.lower(state, im_q, im_k,
+                             jax.random.PRNGKey(1)).compile().as_text()
+            Path(trace_dir).mkdir(parents=True, exist_ok=True)
+            (Path(trace_dir) / "hlo.txt").write_text(hlo)
+        except Exception as e:  # pragma: no cover - best-effort artifact
+            print(f"# hlo dump failed: {e}", file=sys.stderr)
         with jax.profiler.trace(trace_dir):
             for i in range(steps):
                 state, metrics = step(state, im_q, im_k,
@@ -88,6 +100,82 @@ def run_and_trace(batch: int, steps: int, trace_dir: str):
 V5E_BF16_TFLOPS = 394.0
 V5E_HBM_GBPS = 819.0
 
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+    "c64": 8, "c128": 16, "f8e4m3fn": 1, "f8e5m2": 1,
+}
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """Total bytes of an HLO shape string (handles tuples by summing)."""
+    total = 0
+    for m in re.finditer(r"([a-z]\w*?)\[([\d,]*)\]", shape_str):
+        bs = _DTYPE_BYTES.get(m.group(1))
+        if bs is None:
+            continue  # token[], opaque[]
+        n = 1
+        for d in m.group(2).split(","):
+            if d:
+                n *= int(d)
+        total += n * bs
+    return total
+
+
+def _scan_balanced(s: str, i: int) -> int:
+    """Index just past the group that opens at s[i] ('(' or '{')."""
+    close = {"(": ")", "{": "}"}[s[i]]
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == s[i]:
+            depth += 1
+        elif s[j] == close:
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    return len(s)
+
+
+def parse_hlo_bytes(hlo_text: str) -> dict:
+    """name -> (output_bytes, output+operand bytes) for every instruction.
+
+    Bytes are a *roofline estimate* of the op's HBM traffic: a fusion
+    reads each operand once from HBM and writes its output once (XLA may
+    do better via reuse in VMEM, never worse for a single pass). HLO
+    instruction names are module-unique, so one flat map suffices for
+    looking up trace op names (which match the top-level entry names).
+    """
+    shapes = {}     # name -> output bytes
+    operands = {}   # name -> [operand names]
+    for raw in hlo_text.splitlines():
+        line = raw.strip()
+        m = re.match(r"(?:ROOT\s+)?%?([\w.\-]+) = ", line)
+        if not m:
+            continue
+        name = m.group(1)
+        rest = line[m.end():]
+        # shape: either a tuple "(f32[..]{..}, ...)" or "f32[..]{..}"
+        if rest.startswith("("):
+            end = _scan_balanced(rest, 0)
+        else:
+            sm = re.match(r"[a-z]\w*\[[\d,]*\](?:\{[^}]*\})?", rest)
+            if not sm:
+                continue
+            end = sm.end()
+        shape_str, rest = rest[:end], rest[end:].lstrip()
+        om = re.match(r"[\w\-]+\(", rest)
+        ops = []
+        if om:
+            gend = _scan_balanced(rest, om.end() - 1)
+            ops = re.findall(r"%([\w.\-]+)", rest[om.end() - 1:gend])
+        shapes[name] = _shape_bytes(shape_str)
+        operands[name] = ops
+    out = {}
+    for name, ob in shapes.items():
+        total = ob + sum(shapes.get(o, 0) for o in operands.get(name, ()))
+        out[name] = (ob, total)
+    return out
+
 
 def roofline(per_op, steps: int, top: int):
     """Per-op attainable-time table for the lowest-TF/s fusions.
@@ -100,26 +188,30 @@ def roofline(per_op, steps: int, top: int):
     for name, rec in per_op.items():
         dur_us, n, flops, tf_op = rec[0], rec[1], rec[2], rec[3]
         byt = rec[4] if len(rec) > 4 else 0.0
+        src = rec[5] if len(rec) > 5 else ("counter" if byt else "none")
         if dur_us <= 0:
             continue
         t_comp = flops / (V5E_BF16_TFLOPS * 1e12) * 1e6   # us
         t_mem = byt / (V5E_HBM_GBPS * 1e9) * 1e6 if byt else 0.0
         bound = max(t_comp, t_mem)
         rows.append((name, dur_us, n, flops, byt, t_comp, t_mem, bound,
-                     tf_op))
+                     tf_op, src))
     # sort by worst absolute headroom (measured - bound), the real target
     rows.sort(key=lambda r: -(r[1] - r[7]))
     print("\n== roofline (v5e: %.0f bf16 TF/s, %.0f GB/s HBM); headroom = "
           "measured - bound" % (V5E_BF16_TFLOPS, V5E_HBM_GBPS))
-    print("%9s %9s %9s %7s %7s  %s" % ("meas ms", "bound ms", "headrm ms",
-                                       "TF/s", "GB/s", "op"))
-    for name, dur, n, flops, byt, t_comp, t_mem, bound, tf_op in rows[:top]:
+    print("%9s %9s %9s %7s %7s %7s  %s" % (
+        "meas ms", "bound ms", "headrm ms", "x bnd", "TF/s", "GB/s", "op"))
+    for (name, dur, n, flops, byt, t_comp, t_mem, bound, tf_op,
+         src) in rows[:top]:
         tfs = flops / (dur * 1e6) if dur else 0.0
         gbs = byt / (dur * 1e3) if dur else 0.0   # bytes/us -> GB/s
-        mark = "" if byt else "  [no byte counter]"
-        print("%9.3f %9.3f %9.3f %7.1f %7.0f  %s%s" % (
+        mark = {"counter": "", "hlo-est": "  [hlo est]",
+                "none": "  [no bytes]"}[src]
+        xb = dur / bound if bound else float("inf")
+        print("%9.3f %9.3f %9.3f %7.1f %7.1f %7.0f  %s%s" % (
             dur / 1e3 / steps, bound / 1e3 / steps,
-            (dur - bound) / 1e3 / steps, tfs, gbs, name[:60], mark))
+            (dur - bound) / 1e3 / steps, xb, tfs, gbs, name[:52], mark))
 
 
 def summarize(trace_dir: str, steps: int, top: int,
@@ -129,6 +221,10 @@ def summarize(trace_dir: str, steps: int, top: int,
     if not paths:
         print(json.dumps({"error": "no trace produced"}))
         return
+    hlo_bytes = {}
+    hlo_path = Path(trace_dir) / "hlo.txt"
+    if hlo_path.exists():
+        hlo_bytes = parse_hlo_bytes(hlo_path.read_text())
     with gzip.open(sorted(paths)[-1]) as f:
         d = json.load(f)
     ev = d.get("traceEvents", [])
@@ -171,11 +267,19 @@ def summarize(trace_dir: str, steps: int, top: int,
         rec[1] += 1
         rec[2] += float(args.get("model_flops", 0) or 0)
         rec[3] = tf_op
+        got_counter = False
         for bk in ("bytes_accessed", "bytes accessed",
                    "model_bytes_accessed"):
             if args.get(bk):
                 rec[4] += float(args[bk])
+                got_counter = True
                 break
+        if not got_counter:
+            hb = hlo_bytes.get(name.lstrip("%"))
+            if hb:
+                rec[4] += float(hb[1])
+                if len(rec) == 5:
+                    rec.append("hlo-est")
     if dump_args:
         print("== per-op arg keys seen:",
               json.dumps(dict(sorted(arg_keys.items()))))
