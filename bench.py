@@ -161,6 +161,17 @@ def main():
     im_q = jnp.asarray(rng.rand(b_global, P, S, S, 3), jnp.float32)
     im_k = jnp.asarray(rng.rand(b_global, P, S, S, 3), jnp.float32)
 
+    # phase selection: RSPNET_BENCH_PHASES=step,e2e,cached,h2d (default all;
+    # RSPNET_BENCH_SKIP_E2E=1 is the legacy phase-1-only switch). Lets A/B
+    # sessions time one phase without spending the tunnel's burst window
+    # on the others. The warmup + RTT calibration always run (every later
+    # phase needs the compiled step and the fetch RTT); only the phase-1
+    # 30-step timed loop is gated.
+    phases = set(os.environ.get("RSPNET_BENCH_PHASES",
+                                "step,e2e,cached,h2d").split(","))
+    if os.environ.get("RSPNET_BENCH_SKIP_E2E"):
+        phases = {"step"}
+
     # ---- phase 1: device-resident step throughput ---------------------------
     # SYNC CONTRACT (measured 2026-08-17): on the axon tunnel
     # jax.block_until_ready returns WITHOUT waiting for remote execution —
@@ -186,32 +197,29 @@ def main():
             rtts.append(time.perf_counter() - t0)
         rtt = min(rtts)
 
-        n_steps = 30  # tunneled-chip timing variance is ~±10% at 10 steps
-        t0 = time.perf_counter()
-        for i in range(n_steps):
-            state, metrics = step(state, im_q, im_k, jax.random.PRNGKey(2 + i))
-        fetch(metrics["loss"])               # dependent fetch = completion
-        dt = time.perf_counter() - t0 - rtt
+        if "step" in phases:
+            n_steps = 30  # tunneled-chip timing variance ~±10% at 10 steps
+            t0 = time.perf_counter()
+            for i in range(n_steps):
+                state, metrics = step(state, im_q, im_k,
+                                      jax.random.PRNGKey(2 + i))
+            fetch(metrics["loss"])           # dependent fetch = completion
+            dt = time.perf_counter() - t0 - rtt
 
-    step_per_chip = b_global * n_steps / dt / n_chips
     result = {
         "metric": METRIC,
-        "value": round(step_per_chip, 2),
+        "value": None,
         "unit": "clips/sec/chip",
-        "vs_baseline": round(step_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3),
         "n_chips": n_chips,
         "host_cpus": os.cpu_count(),
         "fetch_rtt_ms": round(rtt * 1e3, 1),
     }
+    if "step" in phases:
+        step_per_chip = b_global * n_steps / dt / n_chips
+        result["value"] = round(step_per_chip, 2)
+        result["vs_baseline"] = round(
+            step_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3)
 
-    # phase selection: RSPNET_BENCH_PHASES=step,e2e,cached,h2d (default all;
-    # RSPNET_BENCH_SKIP_E2E=1 is the legacy phase-1-only switch). Lets A/B
-    # sessions time one phase without spending the tunnel's burst window
-    # on the others.
-    phases = set(os.environ.get("RSPNET_BENCH_PHASES",
-                                "step,e2e,cached,h2d").split(","))
-    if os.environ.get("RSPNET_BENCH_SKIP_E2E"):
-        phases = {"step"}
     if phases <= {"step"}:
         print(json.dumps(result))
         return
@@ -331,8 +339,10 @@ def main():
 
       cached_per_chip = done / cached_dt / n_chips
       result["e2e_cached_clips_per_sec_per_chip"] = round(cached_per_chip, 2)
-      # the honest "can the engine loop feed its own step" fraction
-      result["e2e_cached_vs_step"] = round(cached_per_chip / step_per_chip, 3)
+      if "step" in phases:
+          # the honest "can the engine loop feed its own step" fraction
+          result["e2e_cached_vs_step"] = round(
+              cached_per_chip / step_per_chip, 3)
 
       # Decompose the gap: the cached loop's per-batch DEVICE work is
       # step + 2x fused augment (+ the cache's take-gather) — augment is
@@ -347,11 +357,12 @@ def main():
       with mesh:
           t_aug = time_enqueued(
               lambda u8=one_u8: jnp.sum(device_batch(u8)), iters=5)
-      t_batch_step = b_global / (step_per_chip * n_chips)
-      dev_ceiling = b_global / (t_batch_step + 2 * t_aug) / n_chips
       result["augment_ms_per_clipbatch"] = round(t_aug * 1e3, 1)
-      result["e2e_cached_vs_device_work"] = round(
-          cached_per_chip / dev_ceiling, 3)
+      if "step" in phases:   # needs the phase-1 step rate for the ceiling
+          t_batch_step = b_global / (step_per_chip * n_chips)
+          dev_ceiling = b_global / (t_batch_step + 2 * t_aug) / n_chips
+          result["e2e_cached_vs_device_work"] = round(
+              cached_per_chip / dev_ceiling, 3)
 
     # ---- phase 3: H2D bandwidth probe ----------------------------------------
     # device_put is asynchronous and block_until_ready does not wait on this

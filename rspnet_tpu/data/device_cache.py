@@ -61,28 +61,39 @@ class DeviceCachedLoader:
         clips: List[List[np.ndarray]] = [[] for _ in range(inner.cfg.num_clips)]
         labels, masks = [], []
         first = True
-        for batch in inner:
-            if first:
-                # preflight: estimate the full cache from the FIRST batch
-                # before paying the whole decode pass (a too-big dataset
-                # used to fail only after minutes-hours of decoding).
-                # Per-sample bytes are uniform (static shapes).
-                b0 = batch["labels"].shape[0]
-                per_sample = sum(np.asarray(a).nbytes
-                                 for a in batch["clips"]) / max(b0, 1)
-                est_mb = per_sample * inner.num_samples / 1e6
-                if est_mb > limit_mb:
-                    raise ValueError(
-                        f"cache_device preflight: ~{est_mb:.0f} MB estimated "
-                        f"({inner.num_samples} samples x "
-                        f"{per_sample / 1e6:.1f} MB) > limit {limit_mb:.0f} "
-                        f"MB (RSPNET_CACHE_LIMIT_MB); refusing before the "
-                        f"full decode pass")
-                first = False
-            for c, arr in enumerate(batch["clips"]):
-                clips[c].append(np.asarray(arr))
-            labels.append(np.asarray(batch["labels"]))
-            masks.append(np.asarray(batch["mask"]))
+        # Raising mid-iteration would suspend the loader generator inside
+        # its `with pool:` block and leak the worker threads/fds until GC
+        # (the resource-leak class documented in CLAUDE.md) — close() the
+        # iterator before letting the preflight error escape.
+        it = iter(inner)
+        try:
+            for batch in it:
+                if first:
+                    # preflight: estimate the full cache from the FIRST
+                    # batch before paying the whole decode pass (a too-big
+                    # dataset used to fail only after minutes-hours of
+                    # decoding). Per-sample bytes are uniform (static
+                    # shapes).
+                    b0 = batch["labels"].shape[0]
+                    per_sample = sum(np.asarray(a).nbytes
+                                     for a in batch["clips"]) / max(b0, 1)
+                    est_mb = per_sample * inner.num_samples / 1e6
+                    if est_mb > limit_mb:
+                        raise ValueError(
+                            f"cache_device preflight: ~{est_mb:.0f} MB "
+                            f"estimated ({inner.num_samples} samples x "
+                            f"{per_sample / 1e6:.1f} MB) > limit "
+                            f"{limit_mb:.0f} MB (RSPNET_CACHE_LIMIT_MB); "
+                            f"refusing before the full decode pass")
+                    first = False
+                for c, arr in enumerate(batch["clips"]):
+                    clips[c].append(np.asarray(arr))
+                labels.append(np.asarray(batch["labels"]))
+                masks.append(np.asarray(batch["mask"]))
+        finally:
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()
         if not labels:
             raise ValueError("cache_device on an empty loader")
         self._labels = np.concatenate(labels)

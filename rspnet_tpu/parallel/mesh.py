@@ -100,19 +100,33 @@ def mesh_for_config(cfg, args) -> Mesh:
     data mesh capped by --ws.
     """
     model = int(cfg.get("parallel.model", 1) or 1)
-    if model <= 1:
-        return mesh_for_args(args)
+    data = cfg.get("parallel.data", None)
     avail = jax.device_count()
     ws = getattr(args, "world_size", None)
     if ws:
         avail = min(int(ws), avail)
-    data = cfg.get("parallel.data", None)
+    if model <= 1:
+        # data-only block: an explicit width cap, same as --ws
+        if data is not None:
+            if int(data) > avail:
+                raise ValueError(
+                    f"parallel.data={data} exceeds the {avail} usable "
+                    f"device(s) (device_count={jax.device_count()}"
+                    f"{', --ws=' + str(ws) if ws else ''})")
+            return create_mesh(int(data))
+        return mesh_for_args(args)
     if data is None:
         if avail % model:
             raise ValueError(
                 f"parallel.model={model} does not divide the {avail} "
                 f"available device(s); set parallel.data explicitly")
         data = avail // model
+    if int(data) * model > avail:
+        raise ValueError(
+            f"parallel: {{data: {data}, model: {model}}} needs "
+            f"{int(data) * model} devices but only {avail} are usable "
+            f"(device_count={jax.device_count()}"
+            f"{', --ws=' + str(ws) if ws else ''})")
     return create_mesh_2d(int(data), model)
 
 

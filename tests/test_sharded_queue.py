@@ -111,8 +111,12 @@ def _run_2d(cfg, opt, state0, im_q, im_k, d, m):
     return s2, met_a, met_b, mesh2
 
 
-@pytest.mark.parametrize("dm", [(2, 4), (4, 2)])
-@pytest.mark.parametrize("fused", [True, False])
+# fused=False pins the SHARED step body's sequential-key-pass branch —
+# mesh-shape independent, so one mesh suffices (each combo costs ~5 min
+# of x64 full-step compiles on the CPU mesh; the full fused x mesh
+# product tripled the suite's wall time for no extra coverage).
+@pytest.mark.parametrize("dm,fused",
+                         [((2, 4), True), ((4, 2), True), ((2, 4), False)])
 def test_2d_matches_1d_step(dm, fused):
     """Two full steps (the second enqueues into a DIFFERENT queue shard):
     params, queue contents, pointer, and every metric must match the 1-D

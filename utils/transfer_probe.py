@@ -89,6 +89,10 @@ def main(argv=None):
     ap.add_argument("--cache-device", action="store_true",
                     help="serve every epoch from an HBM-resident cache "
                     "(data/device_cache.py) — bypasses the host link")
+    ap.add_argument("--debug", action="store_true",
+                    help="pass -d to every CLI (1 epoch, 3 steps): "
+                    "validates the composed probe path in minutes, the "
+                    "accuracies are meaningless")
     args = ap.parse_args(argv)
     out = args.out
     out.mkdir(parents=True, exist_ok=True)
@@ -99,6 +103,7 @@ def main(argv=None):
     run([sys.executable, "pretrain.py",
          "-c", arch["pretrain"],
          "-e", str(pre), "--seed", str(args.seed),
+         *(["-d"] if args.debug else []),
          "-x", "{%s%s, batch_size: 32, num_epochs: %d, "
          "moco+: {k: 4096, packed_frames: true}}"
          % (data, arch["pre_extra"], args.epochs)])
@@ -119,6 +124,7 @@ def main(argv=None):
         run([sys.executable, "finetune.py",
              "-c", arch["finetune"],
              "-e", str(exp), "--seed", str(args.seed), "--no-scale-lr",
+             *(["-d"] if args.debug else []),
              "-x", probe_x] + extra)
         accs[name] = final_acc(exp)
 
