@@ -120,3 +120,51 @@ def test_finetune_real_videos_with_mc(pretrain_real_run, ucf_tree,
     ])
     assert 0.0 <= result["acc1"] <= 100.0
     assert (tmp_path / "exp_ft_real" / "checkpoint.pth.tar").exists()
+
+
+def test_retrieval_real_videos_with_mc(pretrain_real_run, ucf_tree,
+                                       tmp_path):
+    """retrieval.py -d --mc over the on-disk tree: both folds decode real
+    video, features come from the MoCo encoder, recall artifacts match the
+    reference layout (retrieval.py:133-141)."""
+    import retrieval
+    vdir, adir = ucf_tree
+    results = retrieval.main([
+        "-c", str(REPO / "config/retrieval/ucf101_resnet18.jsonnet"),
+        "-e", str(tmp_path / "exp_ret_real"), "-d", "--seed", "1",
+        "--mc", str(pretrain_real_run / "checkpoint.pth.tar"),
+        "-x", "{" + _dataset_ext(vdir, adir) +
+        ', batch_size: 1, num_workers: 2, '
+        'spatial_transforms+: {size: 32}, '
+        'temporal_transforms+: {size: 8, '
+        'validate+: {n_crop: 2, final_n_crop: 2}}, '
+        'validate: {batch_size: 1}, final_validate: {batch_size: 1}}',
+    ])
+    vals = [results[f"R@{k}"] for k in (1, 5, 10, 20, 50)]
+    assert vals == sorted(vals)
+    run_dir = next((tmp_path / "exp_ret_real").glob("run_0_*"))
+    feats = np.load(run_dir / "test_fold1_feats.npy")
+    labels = np.load(run_dir / "test_fold1_labels.npy")
+    assert feats.shape[0] == labels.shape[0] == 4  # 2 test clips x 2 classes
+    assert np.isfinite(feats).all()
+
+
+def test_visualization_real_videos(pretrain_real_run, ucf_tree, tmp_path):
+    """visualization.py -d --mc over the on-disk tree writes CAM strips
+    from real decoded frames (reference visualization.py einsum chain)."""
+    import visualization
+    vdir, adir = ucf_tree
+    visualization.main([
+        "-c", str(REPO / "config/pretrain/resnet18.jsonnet"),
+        "-e", str(tmp_path / "exp_vis_real"), "-d", "--seed", "1",
+        "--mc", str(pretrain_real_run / "checkpoint.pth.tar"),
+        "-x", "{" + _dataset_ext(vdir, adir) +
+        ', batch_size: 1, num_workers: 2, '
+        'spatial_transforms+: {size: 32}, '
+        'temporal_transforms+: {_size: 8}, '
+        'moco+: {k: 8, dim: 8}, '
+        'device_geometry: true, decode_size: [48, 64]}',
+    ])
+    run_dir = next((tmp_path / "exp_vis_real").glob("run_0_*"))
+    cams = list((run_dir / "cam").glob("*.png"))
+    assert len(cams) > 0

@@ -84,6 +84,17 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=15,
                     help="MoCo pretrain epochs")
     ap.add_argument("--probe-epochs", type=int, default=12)
+    ap.add_argument("--probe-lrs", default="0.01",
+                    help="comma-separated probe lr sweep; each arm reports "
+                    "its best final acc. Feature scales differ between "
+                    "MoCo-init and random-init backbones (measured: s3dg "
+                    "MoCo features diverge a lr-0.01 linear probe at step 0, "
+                    "loss ~1e11, while random-init converges), so a single "
+                    "shared lr is not a fair comparison — sweep and take "
+                    "best-per-arm, as SSL linear-eval protocols do")
+    ap.add_argument("--skip-pretrain", action="store_true",
+                    help="reuse {out}/moco/checkpoint.pth.tar from a "
+                    "previous run instead of re-running pretrain.py")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--arch", choices=sorted(_ARCHES), default="resnet18")
     ap.add_argument("--cache-device", action="store_true",
@@ -100,33 +111,43 @@ def main(argv=None):
     data = _DATA + (", cache_device: true" if args.cache_device else "")
 
     pre = out / "moco"
-    run([sys.executable, "pretrain.py",
-         "-c", arch["pretrain"],
-         "-e", str(pre), "--seed", str(args.seed),
-         *(["-d"] if args.debug else []),
-         "-x", "{%s%s, batch_size: 32, num_epochs: %d, "
-         "moco+: {k: 4096, packed_frames: true}}"
-         % (data, arch["pre_extra"], args.epochs)])
+    if args.skip_pretrain:
+        if not (pre / "checkpoint.pth.tar").exists():
+            ap.error(f"--skip-pretrain: no checkpoint under {pre}")
+    else:
+        run([sys.executable, "pretrain.py",
+             "-c", arch["pretrain"],
+             "-e", str(pre), "--seed", str(args.seed),
+             *(["-d"] if args.debug else []),
+             "-x", "{%s%s, batch_size: 32, num_epochs: %d, "
+             "moco+: {k: 4096, packed_frames: true}}"
+             % (data, arch["pre_extra"], args.epochs)])
 
     # measured gotchas (CLAUDE.md, round 2): probe lr 0.05+ diverges on
     # the unnormalized GAP features (use 0.01 + --no-scale-lr), and
     # model_best-by-loss lands on epoch 1 (queue fills -> loss rises,
     # classic MoCo artifact) so probe from the FINAL checkpoint.
-    probe_x = ("{%s%s, batch_size: 32, num_epochs: %d, only_train_fc: true, "
-               "optimizer+: {lr: 0.01}, "
-               "temporal_transforms+: %s}"
-               % (data, arch["probe_extra"], args.probe_epochs,
-                  arch["probe_temporal"]))
-    accs = {}
+    lrs = [float(s) for s in args.probe_lrs.split(",")]
+    accs, best_lrs = {}, {}
     for name, extra in (("moco", ["--mc", str(pre / "checkpoint.pth.tar")]),
                         ("random", [])):
-        exp = out / f"probe_{name}"
-        run([sys.executable, "finetune.py",
-             "-c", arch["finetune"],
-             "-e", str(exp), "--seed", str(args.seed), "--no-scale-lr",
-             *(["-d"] if args.debug else []),
-             "-x", probe_x] + extra)
-        accs[name] = final_acc(exp)
+        for lr in lrs:
+            suffix = "" if len(lrs) == 1 else f"_lr{lr:g}"
+            exp = out / f"probe_{name}{suffix}"
+            probe_x = ("{%s%s, batch_size: 32, num_epochs: %d, "
+                       "only_train_fc: true, optimizer+: {lr: %g}, "
+                       "temporal_transforms+: %s}"
+                       % (data, arch["probe_extra"], args.probe_epochs, lr,
+                          arch["probe_temporal"]))
+            run([sys.executable, "finetune.py",
+                 "-c", arch["finetune"],
+                 "-e", str(exp), "--seed", str(args.seed), "--no-scale-lr",
+                 *(["-d"] if args.debug else []),
+                 "-x", probe_x] + extra)
+            acc = final_acc(exp)
+            print(f"probe_{name} lr={lr:g}: acc1={acc}", file=sys.stderr)
+            if name not in accs or acc > accs[name]:
+                accs[name], best_lrs[name] = acc, lr
 
     print(json.dumps({
         "moco_acc1": accs["moco"],
@@ -135,6 +156,9 @@ def main(argv=None):
         "chance": 10.0,
         "pretrain_epochs": args.epochs,
         "probe_epochs": args.probe_epochs,
+        "probe_lrs": lrs,
+        "moco_lr": best_lrs["moco"],
+        "random_lr": best_lrs["random"],
     }))
 
 
