@@ -16,9 +16,13 @@ pretrain.py:154):
    the measured fetch round-trip. Numbers recorded before 2026-08-17
    (rounds 1 and early 2) used block_until_ready and measured the
    dispatch/enqueue rate — they are 4-16x too high and are not comparable.
-2. **e2e**: the REAL input pipeline — decode workers (synthetic backend)
-   -> fused on-device augment (device-geometry: crop+resize on chip,
-   ops/augment.py) -> H2D -> train step. Reported as
+2. **e2e**: the REAL input pipeline — decode workers over real encoded
+   240p MJPG videos through the production decoder (native C++ FFmpeg or
+   cv2 fallback; decode-time scaling to the ship resolution rides the sws
+   pass) -> fused on-device augment (device-geometry: crop+resize on chip,
+   ops/augment.py) -> H2D -> train step. Same bytes/sample as the legacy
+   synthetic backend (RSPNET_BENCH_E2E_BACKEND=synthetic), so comparable
+   across rounds. Reported as
    `e2e_clips_per_sec_per_chip` plus
    `e2e_vs_sustained_input_bound`: the ratio against the SUSTAINED-regime
    H2D bound measured in phase 3. NOTE the regimes differ by design: the
@@ -58,7 +62,11 @@ phases; default all), RSPNET_BENCH_SKIP_E2E=1 (phase 1 only), RSPNET_BENCH_WORKE
 RSPNET_BENCH_PROCS=1 (process decode workers), RSPNET_BENCH_RETRIES=n
 (backend-init attempts, default 3), RSPNET_BENCH_TIMEOUT=sec (whole-run
 alarm, default 3300 — a wedged tunnel fetch otherwise hangs forever and
-the driver records no JSON at all).
+the driver records no JSON at all), RSPNET_BENCH_PREFLIGHT=sec (bounded
+tiny-fetch probe before committing to the run, default 600, 0 disables —
+a wedged tunnel otherwise hangs INSIDE backend init and only the whole-run
+watchdog would fire), RSPNET_BENCH_E2E_BACKEND=real|synthetic (phase-2
+input source, default real encoded videos via the production decoder).
 
 FAILURE CONTRACT: this script ALWAYS prints exactly one JSON line. If the
 TPU backend cannot initialize (the 2026-08-17 tunnel wedge: UNAVAILABLE
@@ -84,6 +92,39 @@ def _emit_error(error: str, detail: str = "") -> None:
     print(json.dumps(line))
 
 
+def _preflight(timeout_s: int) -> None:
+    """Bounded tiny-fetch probe in a subprocess.
+
+    A wedged axon tunnel HANGS inside backend init (jax.devices() never
+    returns — observed 2026-08-20; the 2026-08-17 wedge instead raised
+    UNAVAILABLE), so the in-process retry loop never sees an exception and
+    only the 3300s whole-run watchdog would fire. A subprocess with a
+    bounded wait distinguishes "wedged" from "cold init" (~90s healthy) in
+    minutes and lets the failure contract emit its JSON line early.
+    """
+    import subprocess
+    import sys
+    # the axon plugin force-sets jax_platforms, clobbering the env var —
+    # re-apply it so a JAX_PLATFORMS=cpu run preflights on cpu too
+    code = ("import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "x = jax.numpy.ones((8, 8))\n"
+            "print('PREFLIGHT_OK', float((x @ x).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"tpu-backend-unavailable: preflight tiny-fetch hung "
+            f">{timeout_s}s (wedged tunnel; backend init never returned)")
+    if r.returncode != 0 or "PREFLIGHT_OK" not in r.stdout:
+        raise RuntimeError(
+            "tpu-backend-unavailable: preflight failed: "
+            + (r.stderr or r.stdout).strip()[-300:])
+
+
 def _acquire_backend(retries: int, wait_s: float = 30.0) -> int:
     """Init the TPU backend with bounded retries; returns device count.
 
@@ -105,6 +146,53 @@ def _acquire_backend(retries: int, wait_s: float = 30.0) -> int:
                        f"{last}") from last
 
 
+def _encode_bench_videos(out_dir: str, n: int = 16, frames: int = 80,
+                         wh=(320, 240)):
+    """Encode n tiny MJPG videos (moving-bar content, UCF101-native 320x240)
+    and return a catalog of Samples cycling over them. Returns None if no
+    encoder is available (bench then falls back to the synthetic backend)."""
+    import numpy as np
+    try:
+        import cv2
+    except ImportError:
+        return None
+    from rspnet_tpu.data.catalogs import Sample
+    w_px, h_px = wh
+    rng = np.random.default_rng(0)
+    paths = []
+    for v in range(n):
+        path = os.path.join(out_dir, f"bench_{v:02d}.avi")
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25, wh)
+        if not wr.isOpened():
+            return None
+        phase = float(rng.uniform(0, w_px))
+        speed = int(rng.integers(1, 4))
+        bg = rng.integers(16, 64)
+        for t in range(frames):
+            f = np.full((h_px, w_px, 3), bg, np.uint8)
+            x = int(phase + speed * t) % (w_px - 24)
+            f[h_px // 4: 3 * h_px // 4, x:x + 24, :] = 224
+            wr.write(f[..., ::-1])
+        wr.release()
+        paths.append(path)
+    return [Sample(video_path=p, class_index=i % 10)
+            for i, p in enumerate(paths)]
+
+
+class _CyclingCatalog:
+    """Fixed-size catalog cycling over a small list of real video files."""
+
+    def __init__(self, samples, num_samples: int):
+        self._samples = samples
+        self._n = num_samples
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        return self._samples[i % len(self._samples)]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -122,6 +210,9 @@ def main():
     from rspnet_tpu.parallel import (create_mesh, fetch_scalar as fetch,
                                      replicate_to_mesh, shard_batch)
 
+    pf = int(os.environ.get("RSPNET_BENCH_PREFLIGHT", "600"))
+    if pf > 0:
+        _preflight(pf)
     n_chips = _acquire_backend(int(os.environ.get("RSPNET_BENCH_RETRIES", "3")))
     mesh = create_mesh()
 
@@ -265,9 +356,36 @@ def main():
         return shard_batch(x, mesh)
 
     if "e2e" in phases:
-      catalog = Synthetic(num_samples=n_batches * b_global, num_classes=10,
-                          num_frames=64, height=DH, width=DW)
-      loader = VideoDataLoader(catalog, loader_cfg)
+      # Phase 2 runs over REAL encoded videos through the production decode
+      # path by default (native C++ FFmpeg decoder if built, cv2 fallback),
+      # with decode-time scaling 240p -> (DH, DW) riding the sws pass —
+      # the reference's default dataset path (datasets/classification/
+      # video.py:55-80) as the certified artifact exercises it. Byte volume
+      # per sample over the tunnel is identical to the synthetic backend,
+      # so the number stays comparable across rounds;
+      # RSPNET_BENCH_E2E_BACKEND=synthetic restores the old backend for A/B.
+      e2e_backend = os.environ.get("RSPNET_BENCH_E2E_BACKEND", "real")
+      catalog = None
+      if e2e_backend == "real":
+          import tempfile
+          vdir = tempfile.mkdtemp(prefix="rspnet_bench_vids_")
+          files = _encode_bench_videos(vdir)
+          if files is None:
+              e2e_backend = "synthetic"  # no encoder on this host
+          else:
+              catalog = _CyclingCatalog(files, n_batches * b_global)
+              from rspnet_tpu.data.video_reader import _try_native
+              from dataclasses import replace as _dc_replace
+              e2e_loader_cfg = _dc_replace(loader_cfg, decode_size=(DH, DW))
+              result["e2e_backend"] = ("real-video-native" if _try_native()
+                                       else "real-video-cv2")
+      if catalog is None:
+          catalog = Synthetic(num_samples=n_batches * b_global,
+                              num_classes=10, num_frames=64,
+                              height=DH, width=DW)
+          e2e_loader_cfg = loader_cfg
+          result["e2e_backend"] = "synthetic"
+      loader = VideoDataLoader(catalog, e2e_loader_cfg)
       with mesh:
         key = jax.random.PRNGKey(100)
         t_start = None

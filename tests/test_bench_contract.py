@@ -125,3 +125,84 @@ def test_success_path_prints_value(monkeypatch, capsys):
         assert line["value"] == 1.0
     finally:
         sys.path.remove(REPO)
+
+
+def test_preflight_timeout_maps_to_backend_unavailable(monkeypatch):
+    """A wedged tunnel hangs INSIDE backend init (observed 2026-08-20), so
+    the preflight subprocess must convert the hang into the contract's
+    tpu-backend-unavailable error within its bound."""
+    import subprocess as sp
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+
+        def fake_run(*a, **k):
+            raise sp.TimeoutExpired(cmd=a[0], timeout=k["timeout"])
+
+        monkeypatch.setattr(sp, "run", fake_run)
+        with pytest.raises(RuntimeError, match="tpu-backend-unavailable"):
+            bench._preflight(3)
+    finally:
+        sys.path.remove(REPO)
+
+
+def test_preflight_failure_maps_to_backend_unavailable(monkeypatch):
+    import subprocess as sp
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+
+        class R:
+            returncode = 1
+            stdout = ""
+            stderr = "RuntimeError: Unable to initialize backend"
+
+        monkeypatch.setattr(sp, "run", lambda *a, **k: R())
+        with pytest.raises(RuntimeError, match="tpu-backend-unavailable"):
+            bench._preflight(3)
+    finally:
+        sys.path.remove(REPO)
+
+
+def test_preflight_succeeds_on_cpu(monkeypatch):
+    """End-to-end preflight success path: the subprocess honors
+    JAX_PLATFORMS=cpu (the axon plugin clobbers the env var, the probe
+    code re-applies it)."""
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        bench._preflight(120)  # raises on failure
+    finally:
+        sys.path.remove(REPO)
+
+
+def test_bench_video_catalog_decodes_through_loader(tmp_path):
+    """_encode_bench_videos -> _CyclingCatalog -> VideoDataLoader over the
+    production decoder with decode-time scaling: the phase-2 real-video
+    input path, minus the chip."""
+    pytest.importorskip("cv2")
+    import numpy as np
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+        files = bench._encode_bench_videos(str(tmp_path), n=2, frames=40,
+                                           wh=(96, 64))
+        assert files is not None and len(files) == 2
+        from rspnet_tpu.data.pipeline import PipelineConfig, VideoDataLoader
+        cfg = PipelineConfig(
+            clip_len=8, strides=[{"stride": 1, "weight": 1}], out_size=32,
+            crop_area=(0.4, 1.0), num_clips=2, batch_size=4, train=True,
+            num_workers=2, device_geometry=True, decode_size=(48, 64),
+            seed=0)
+        catalog = bench._CyclingCatalog(files, 8)
+        assert len(catalog) == 8
+        assert catalog[3].video_path == files[1].video_path
+        batches = list(VideoDataLoader(catalog, cfg))
+        assert len(batches) == 2
+        clip = batches[0]["clips"][0]
+        assert clip.shape == (4, 8, 48, 64, 3)  # decode-res uint8, scaled
+        assert clip.dtype == np.uint8
+        assert clip.std() > 0  # real decoded content, not padding
+    finally:
+        sys.path.remove(REPO)
