@@ -66,6 +66,11 @@ class FinetuneEngine:
             cfg, dtype=jnp.bfloat16 if on_tpu else None, axis_name="data")
         self.arch = cfg.get_string("model.arch")
         self.only_train_fc = cfg.get_bool("only_train_fc", False)
+        # precise-BN (reference: slowfast defaults.py:26-30) — number of
+        # train batches used to replace EMA running stats with true batch
+        # statistics before training starts. Load-bearing for linear probes
+        # on low-BN-momentum backbones (s3dg m=0.001): see precise_bn.py.
+        self.bn_recalibrate = cfg.get_int("bn_recalibrate", 0)
 
         self.learning_rate = cfg.get_float("optimizer.lr")
         self.num_epochs = cfg.get_int("num_epochs")
@@ -210,6 +215,61 @@ class FinetuneEngine:
             self.state._replace(params=m["params"],
                                 batch_stats=m["batch_stats"]), self.mesh)
 
+    def recalibrate_bn(self) -> None:
+        """Precise-BN pass over ``bn_recalibrate`` augmented train batches
+        (engines/precise_bn.py). Called once on fresh runs, after any
+        checkpoint/--mc load and before the first train epoch."""
+        n = self.bn_recalibrate
+        if not n or not jax.tree_util.tree_leaves(self.state.batch_stats):
+            return
+        from .precise_bn import recalibrate_batch_stats
+
+        def batch_iter():
+            count = 0
+            epoch = 0
+            while count < n:
+                if len(self.train_loader) == 0:
+                    # e.g. dataset smaller than the global batch under
+                    # drop_last — would otherwise spin forever here
+                    raise ValueError(
+                        "bn_recalibrate: train loader yields no batches "
+                        f"({self.train_loader.num_samples} samples < global "
+                        "batch?)")
+                self.train_loader.set_epoch(10_000 + epoch)
+                epoch += 1
+                it = iter(self.train_loader)
+                try:
+                    for b in it:
+                        if count >= n:
+                            break
+                        clips = self._device_train_augment(b["clips"][0])
+                        yield shard_batch(clips, self.mesh)
+                        count += 1
+                finally:
+                    # un-exhausted loader generators suspend their worker
+                    # pool until GC (round-2 leak findings) — close eagerly
+                    if hasattr(it, "close"):
+                        it.close()
+
+        # deterministic calibration: pin the augment-param stream so every
+        # run (and both probe arms) sees identical calibration batches,
+        # then restore the training stream untouched
+        saved_rng, self.rng = self.rng, np.random.default_rng(
+            self.cfg.get_int("seed", 0) + 3)
+
+        logger.info("Precise-BN: recalibrating batch_stats over %d batches",
+                    n)
+        t0 = time.perf_counter()
+        s = self.state
+        try:
+            new_stats = recalibrate_batch_stats(
+                self.model, self.mesh, s.params, s.batch_stats, batch_iter(),
+                jax.random.PRNGKey(self.cfg.get_int("seed", 0) + 2))
+        finally:
+            self.rng = saved_rng
+        self.state = s._replace(batch_stats=new_stats)
+        logger.info("Precise-BN done in %.1fs", time.perf_counter() - t0)
+
     # -- epochs ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> MeterGroup:
         meters = MeterGroup(["loss", "acc1", "acc5"])
@@ -284,6 +344,8 @@ class FinetuneEngine:
     def run(self):
         num_epochs = 1 if self.debug else self.num_epochs
         try:
+            if self.current_epoch == 0:  # fresh run, not a --continue resume
+                self.recalibrate_bn()
             for epoch in range(self.current_epoch + 1, num_epochs + 1):
                 self.current_epoch = epoch
                 train_meters = self.train_epoch(epoch)

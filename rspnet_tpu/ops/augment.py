@@ -242,15 +242,17 @@ def crop_resize(clip: jnp.ndarray, box: jnp.ndarray, size: Tuple[int, int],
     return jnp.einsum("rw,tswc->tsrc", mx, x)    # columns: [T, S_h, S_w, C]
 
 
-def _apply_jitter(clip: jnp.ndarray, factors: jnp.ndarray,
-                  order: jnp.ndarray) -> jnp.ndarray:
+def _apply_jitter_hsplit(clip: jnp.ndarray, factors: jnp.ndarray,
+                         order: jnp.ndarray) -> jnp.ndarray:
     """Apply brightness/contrast/saturation/hue in the given order.
 
-    NOT a loop of switches. Under vmap, a per-sample `order` makes every
-    switch compute ALL four branches and select — hue's HSV round-trip (the
-    expensive op) ran 4x, and the fori_loop carrier materialized in HBM
-    each iteration (measured 45 ms/batch-128; statically unrolling the
-    switches was WORSE, 57 ms — 16 branch evaluations either way).
+    Hue-split formulation (RSPNET_JITTER=hsplit; superseded default —
+    see _apply_jitter_csplit for why). NOT a loop of switches: under vmap,
+    a per-sample `order` makes every switch compute ALL four branches and
+    select — hue's HSV round-trip (the expensive op) ran 4x, and the
+    fori_loop carrier materialized in HBM each iteration (measured
+    45 ms/batch-128; statically unrolling the switches was WORSE, 57 ms —
+    16 branch evaluations either way).
 
     Instead, exploit that `order` is a permutation so hue appears exactly
     once: run (blend ops before hue) -> hue ONCE -> (blend ops after hue).
@@ -265,6 +267,12 @@ def _apply_jitter(clip: jnp.ndarray, factors: jnp.ndarray,
     and each active slot evaluates the exact same float expressions as the
     reference formulas => bit-identical output; inactive slots pass x
     through untouched (jnp.where), adding no extra clips.
+
+    Remaining cost this formulation cannot shed: every slot computes
+    ``mean = jnp.mean(grey)`` — a full reduce over the current tensor —
+    because ANY slot might be the contrast op for SOME sample. Each reduce
+    is a fusion barrier, so the six slots lower to ~6 materialized
+    elementwise passes plus 6 reduce reads (~2 HBM round-trips per slot).
     """
     # hue position and the 3 non-hue ops in their original relative order
     (pos,) = jnp.nonzero(order != 3, size=3)
@@ -313,6 +321,102 @@ def _apply_jitter(clip: jnp.ndarray, factors: jnp.ndarray,
     for j in range(3):
         x = blend_slot(x, blend_ops[j], j >= pre_count)
     return x
+
+
+def _apply_jitter_csplit(clip: jnp.ndarray, factors: jnp.ndarray,
+                         order: jnp.ndarray) -> jnp.ndarray:
+    """Contrast-split jitter (default, RSPNET_JITTER=csplit).
+
+    The hue-split form above pays 6 full reduces (one ``jnp.mean`` per
+    slot) because any slot might be contrast for some sample — each reduce
+    is a fusion barrier, ~2 HBM round-trips per slot. But CONTRAST is the
+    only op that needs the mean, and a permutation contains it exactly
+    once; brightness, saturation AND hue are purely elementwise. So split
+    the program at the contrast op instead:
+
+        [<=2 b/s slots] -> hue site 1 -> [<=2 b/s slots]
+            -> CONTRAST (the one mean reduce)
+        [<=2 b/s slots] -> hue site 2 -> [<=2 b/s slots]
+
+    Only two ops ({brightness, saturation}) ever occupy the b/s slots, and
+    hue is before or after contrast, never both, so one masked hue site on
+    each side covers every permutation (exactly one site is active per
+    sample). Everything except the single contrast mean is elementwise, so
+    XLA fuses each half into ONE pass over the tensor: ~3 HBM round-trips
+    total instead of ~12. Hue's HSV round-trip is *evaluated* at both
+    sites (vs once in hsplit) but that is VPU arithmetic inside an
+    already-memory-bound fused pass.
+
+    Exactness: an active slot computes the identical float expression as
+    the reference op (same mul-add-clip order, saturation's grey and
+    contrast's mean taken from the CURRENT tensor), inactive slots are
+    arithmetic identities (cf=1, cg=0: x*1 + 0*g == x for finite g, and
+    clip of an in-range value is the identity), and the inactive hue site
+    is a where-select. Pinned against the sequential oracle over all 24
+    permutations (tests/test_ops_augment.py).
+    """
+    pb = jnp.argmax(order == 0)
+    pc = jnp.argmax(order == 1)
+    ps = jnp.argmax(order == 2)
+    ph = jnp.argmax(order == 3)
+
+    def luma(x):
+        # single-channel grey (see hsplit notes: the [..., 3] broadcast of
+        # rgb_to_grayscale materialized as its own pass; the one-channel
+        # value broadcasts for free inside the fused blend)
+        return (color._LUMA[0] * x[..., 0] + color._LUMA[1] * x[..., 1]
+                + color._LUMA[2] * x[..., 2])
+
+    def bs_slot(x, want_b, want_s):
+        # brightness/saturation slot, arithmetic identity when inactive:
+        #   brightness: clip(f*x + 0*g)   == clip(f*x + (1-f)*0)  (ref form)
+        #   saturation: clip(f*x + (1-f)*g)
+        f = jnp.where(want_b, factors[0], factors[2])
+        active = want_b | want_s
+        cf = jnp.where(active, f, 1.0)
+        cg = jnp.where(want_s, 1.0 - f, 0.0)
+        return jnp.clip(cf * x + cg * luma(x)[..., None], 0.0, 1.0)
+
+    def segment(x, g):
+        # the (<=2) b/s ops falling in quarter g, in their original order.
+        # Quarters split by contrast then hue: 0 = pre-c/pre-h,
+        # 1 = pre-c/post-h, 2 = post-c/pre-h, 3 = post-c/post-h.
+        b_in = ((pb > pc).astype(jnp.int32) * 2
+                + (pb > ph).astype(jnp.int32)) == g
+        s_in = ((ps > pc).astype(jnp.int32) * 2
+                + (ps > ph).astype(jnp.int32)) == g
+        b_first = pb < ps
+        x = bs_slot(x, b_in & (~s_in | b_first), s_in & (~b_in | ~b_first))
+        x = bs_slot(x, b_in & s_in & ~b_first, b_in & s_in & b_first)
+        return x
+
+    def hue_site(x, active):
+        return jnp.where(active, color.adjust_hue(x, factors[3]), x)
+
+    x = segment(clip, 0)
+    x = hue_site(x, ph < pc)
+    x = segment(x, 1)
+    # contrast: exactly once per permutation — the program's ONE reduce
+    mean = jnp.mean(luma(x))
+    x = jnp.clip(factors[1] * x + (1.0 - factors[1]) * mean, 0.0, 1.0)
+    x = segment(x, 2)
+    x = hue_site(x, ph > pc)
+    x = segment(x, 3)
+    return x
+
+
+def _apply_jitter(clip: jnp.ndarray, factors: jnp.ndarray,
+                  order: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch on RSPNET_JITTER (csplit default, hsplit the round-4
+    formulation) — read at trace time, same pattern as RSPNET_POOL."""
+    import os
+
+    choice = os.environ.get("RSPNET_JITTER", "csplit")
+    if choice == "hsplit":
+        return _apply_jitter_hsplit(clip, factors, order)
+    if choice == "csplit":
+        return _apply_jitter_csplit(clip, factors, order)
+    raise ValueError(f"RSPNET_JITTER={choice!r}: expected csplit|hsplit")
 
 
 def _augment_one(clip: jnp.ndarray, box, flip, jitter, order, gray, blur,

@@ -97,6 +97,14 @@ def main(argv=None):
                     "previous run instead of re-running pretrain.py")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--arch", choices=sorted(_ARCHES), default="resnet18")
+    ap.add_argument("--bn-recalib", type=int, default=None,
+                    help="precise-BN calibration batches before each probe "
+                    "(engines/precise_bn.py). Default: 8 for s3dg, 0 "
+                    "otherwise — s3dg's reference BN momentum (0.001, "
+                    "s3dg.py:23) leaves running stats near init over a "
+                    "short pretrain, and the eval-mode probe forward then "
+                    "blows up (round-4 notes: val loss ~1e10 at lr 1e-2 "
+                    "AND 1e-3). Applied identically to both arms.")
     ap.add_argument("--cache-device", action="store_true",
                     help="serve every epoch from an HBM-resident cache "
                     "(data/device_cache.py) — bypasses the host link")
@@ -128,6 +136,8 @@ def main(argv=None):
     # model_best-by-loss lands on epoch 1 (queue fills -> loss rises,
     # classic MoCo artifact) so probe from the FINAL checkpoint.
     lrs = [float(s) for s in args.probe_lrs.split(",")]
+    bn_recalib = (args.bn_recalib if args.bn_recalib is not None
+                  else (8 if args.arch == "s3dg" else 0))
     accs, best_lrs = {}, {}
     for name, extra in (("moco", ["--mc", str(pre / "checkpoint.pth.tar")]),
                         ("random", [])):
@@ -136,9 +146,10 @@ def main(argv=None):
             exp = out / f"probe_{name}{suffix}"
             probe_x = ("{%s%s, batch_size: 32, num_epochs: %d, "
                        "only_train_fc: true, optimizer+: {lr: %g}, "
+                       "bn_recalibrate: %d, "
                        "temporal_transforms+: %s}"
                        % (data, arch["probe_extra"], args.probe_epochs, lr,
-                          arch["probe_temporal"]))
+                          bn_recalib, arch["probe_temporal"]))
             run([sys.executable, "finetune.py",
                  "-c", arch["finetune"],
                  "-e", str(exp), "--seed", str(args.seed), "--no-scale-lr",
