@@ -215,21 +215,27 @@ def test_augment_matches_naive_reference_order():
                                    atol=1e-4, err_msg=f"sample {b}")
 
 
-def test_apply_jitter_matches_sequential_oracle():
-    """The hue-lifted slot schedule == naive sequential op application.
+@pytest.mark.parametrize("impl", ["csplit", "hsplit"])
+def test_apply_jitter_matches_sequential_oracle(impl):
+    """Both fused jitter schedules == naive sequential op application.
 
-    _apply_jitter restructures the per-sample random-order jitter (blend
-    ops before hue -> hue once -> blend ops after) for TPU fusion; this
-    pins it, over ALL 24 permutations, against the obvious oracle that
-    applies color.adjust_* one-by-one in `order` (the reference semantics,
-    transforms_tensor.py:107-126).
+    csplit (default: split at the single contrast reduce, two masked hue
+    sites) and hsplit (round-4: blend ops before hue -> hue once -> blend
+    ops after) restructure the per-sample random-order jitter for TPU
+    fusion; this pins each, over ALL 24 permutations, against the obvious
+    oracle that applies color.adjust_* one-by-one in `order` (the
+    reference semantics, transforms_tensor.py:107-126).
     """
     from itertools import permutations
 
     import jax
 
     from rspnet_tpu.ops import color
-    from rspnet_tpu.ops.augment import _apply_jitter
+    from rspnet_tpu.ops.augment import (_apply_jitter_csplit,
+                                        _apply_jitter_hsplit)
+
+    fn = {"csplit": _apply_jitter_csplit,
+          "hsplit": _apply_jitter_hsplit}[impl]
 
     orders = np.asarray(list(permutations(range(4))), dtype=np.int32)  # 24
     B = len(orders)
@@ -239,8 +245,8 @@ def test_apply_jitter_matches_sequential_oracle():
         RNG.uniform(0.6, 1.4, B), RNG.uniform(-0.4, 0.4, B),
     ], axis=1).astype(np.float32)
 
-    ours = jax.vmap(_apply_jitter)(jnp.asarray(clips), jnp.asarray(factors),
-                                   jnp.asarray(orders))
+    ours = jax.vmap(fn)(jnp.asarray(clips), jnp.asarray(factors),
+                        jnp.asarray(orders))
 
     fns = [color.adjust_brightness, color.adjust_contrast,
            color.adjust_saturation, color.adjust_hue]
