@@ -246,8 +246,10 @@ def _apply_jitter_hsplit(clip: jnp.ndarray, factors: jnp.ndarray,
                          order: jnp.ndarray) -> jnp.ndarray:
     """Apply brightness/contrast/saturation/hue in the given order.
 
-    Hue-split formulation (RSPNET_JITTER=hsplit; superseded default —
-    see _apply_jitter_csplit for why). NOT a loop of switches: under vmap,
+    Hue-split formulation (RSPNET_JITTER=hsplit, the DEFAULT — it beat
+    the contrast-split rewrite 33.0 vs 66.2 ms/clip-batch in the
+    2026-08-21 chip A/B; see _apply_jitter_csplit's status note).
+    NOT a loop of switches: under vmap,
     a per-sample `order` makes every switch compute ALL four branches and
     select — hue's HSV round-trip (the expensive op) ran 4x, and the
     fori_loop carrier materialized in HBM each iteration (measured
@@ -325,14 +327,26 @@ def _apply_jitter_hsplit(clip: jnp.ndarray, factors: jnp.ndarray,
 
 def _apply_jitter_csplit(clip: jnp.ndarray, factors: jnp.ndarray,
                          order: jnp.ndarray) -> jnp.ndarray:
-    """Contrast-split jitter (default, RSPNET_JITTER=csplit).
+    """Contrast-split jitter (RSPNET_JITTER=csplit).
 
-    The hue-split form above pays 6 full reduces (one ``jnp.mean`` per
-    slot) because any slot might be contrast for some sample — each reduce
-    is a fusion barrier, ~2 HBM round-trips per slot. But CONTRAST is the
-    only op that needs the mean, and a permutation contains it exactly
-    once; brightness, saturation AND hue are purely elementwise. So split
-    the program at the contrast op instead:
+    STATUS: measured dead end — kept opt-in; hsplit stays default. Chip
+    A/B (2026-08-21, same session, b128): csplit 66.2 ms/clip-batch vs
+    hsplit 33.0 (e2e_cached 539 vs 742 clips/s/chip). The reduce-barrier
+    arithmetic below is real but the augment is NOT barrier-bound: hue's
+    HSV round-trip is the dominant cost and this schedule *evaluates it
+    at two masked sites* (both evaluated for every sample under vmap —
+    a where-select, not a branch), doubling the VPU work and/or blowing
+    up the fused loop bodies. Lesson paired with the pool "sep" variant:
+    collapsing fusion barriers is only a win when the saved HBM passes
+    outweigh the duplicated producer compute.
+
+    Design (why it LOOKED right): the hue-split form above pays 6 full
+    reduces (one ``jnp.mean`` per slot) because any slot might be
+    contrast for some sample — each reduce is a fusion barrier, ~2 HBM
+    round-trips per slot. But CONTRAST is the only op that needs the
+    mean, and a permutation contains it exactly once; brightness,
+    saturation AND hue are purely elementwise. So split the program at
+    the contrast op instead:
 
         [<=2 b/s slots] -> hue site 1 -> [<=2 b/s slots]
             -> CONTRAST (the one mean reduce)
@@ -341,11 +355,7 @@ def _apply_jitter_csplit(clip: jnp.ndarray, factors: jnp.ndarray,
     Only two ops ({brightness, saturation}) ever occupy the b/s slots, and
     hue is before or after contrast, never both, so one masked hue site on
     each side covers every permutation (exactly one site is active per
-    sample). Everything except the single contrast mean is elementwise, so
-    XLA fuses each half into ONE pass over the tensor: ~3 HBM round-trips
-    total instead of ~12. Hue's HSV round-trip is *evaluated* at both
-    sites (vs once in hsplit) but that is VPU arithmetic inside an
-    already-memory-bound fused pass.
+    sample).
 
     Exactness: an active slot computes the identical float expression as
     the reference op (same mul-add-clip order, saturation's grey and
@@ -407,11 +417,12 @@ def _apply_jitter_csplit(clip: jnp.ndarray, factors: jnp.ndarray,
 
 def _apply_jitter(clip: jnp.ndarray, factors: jnp.ndarray,
                   order: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch on RSPNET_JITTER (csplit default, hsplit the round-4
-    formulation) — read at trace time, same pattern as RSPNET_POOL."""
+    """Dispatch on RSPNET_JITTER (hsplit default — won the 2026-08-21
+    chip A/B 33.0 vs 66.2 ms; csplit kept as the measured dead end) —
+    read at trace time, same pattern as RSPNET_POOL."""
     import os
 
-    choice = os.environ.get("RSPNET_JITTER", "csplit")
+    choice = os.environ.get("RSPNET_JITTER", "hsplit")
     if choice == "hsplit":
         return _apply_jitter_hsplit(clip, factors, order)
     if choice == "csplit":
