@@ -38,6 +38,17 @@ _DATA = ('dataset: {name: "synthetic", num_samples: 512, num_classes: 10, '
 # small eval n_crop keeps a cache_device final-validate inside the HBM
 # budget (device_cache.py).
 _ARCHES = {
+    "c3d": {
+        # BASELINE.md quotes C3D (76.71% UCF101); default 112^2 x 16
+        # geometry matches the probe scale already. C3D's BN momentum is
+        # the torch default (0.1), so no recalibration is needed (cf.
+        # s3dg's 0.001 — see --bn-recalib).
+        "pretrain": "config/pretrain/c3d.jsonnet",
+        "finetune": "config/finetune/ucf101_c3d.jsonnet",
+        "pre_extra": "",
+        "probe_temporal": "{frame_rate: null}",
+        "probe_extra": "",
+    },
     "resnet18": {
         "pretrain": "config/pretrain/resnet18.jsonnet",
         "finetune": "config/finetune/ucf101_resnet18.jsonnet",
